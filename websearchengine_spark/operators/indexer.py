@@ -1,0 +1,351 @@
+"""Index-build operators (SURVEY.md §2.3, A1-A10).
+
+Scale design (the part the reference solves with spill/merge under a 512 MB
+heap, IndexerInvertedCompressed.java:124-143, :301-359):
+
+- **doc_id assignment** is a deterministic global rank over ``url`` computed
+  WITHOUT a single-partition sort: range-repartition by url, sort within
+  partitions, then add per-partition offsets (two-pass; the offsets table is
+  #partitions rows).  The rank is partitioning-independent, so the same
+  corpus yields the same doc_ids at any cluster size — required for
+  rank-identical results (SURVEY.md §1.2 docid contract).
+- **posting generation is map-side only**: the tokenizer UDF aggregates
+  (term -> tf, positions) WITHIN each document, so building the
+  ``postings(term, doc_id, tf, positions, dl)`` relation needs NO shuffle at
+  all — doc-locality makes the per-(term,doc) groupBy free.  The reference's
+  equivalent is readTerms' in-memory charMap (:191-253).
+- **segment assembly** groups by ``(term, chunk)`` where
+  ``chunk = doc_id // chunk_docs``: a heavy-hitter term appearing in every
+  document still never concentrates more than ``chunk_docs`` postings in one
+  task.  This IS the frequency-aware salting / two-phase merge the
+  north_star requires, with doc_id-range salts so chunks concatenate in
+  doc-order without a second merge pass (chunks are disjoint, ordered).
+  The reference's analogues: first-char file partitioning (:267-270) and
+  hot-list pinning (AdsIndex.java:321-323).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from websearchengine_spark.functions import codec
+from websearchengine_spark.functions.textnorm import tokenize_document
+
+DEFAULT_CHUNK_DOCS = 1 << 16  # salt-range width for segment grouping
+N_TERM_BUCKETS = 64  # storage partition: bucket(term) for scan pruning
+
+
+# --------------------------------------------------------------------------
+# doc_id assignment
+# --------------------------------------------------------------------------
+
+
+def assign_doc_ids(corpus: DataFrame, n_parts: int | None = None) -> DataFrame:
+    """0-based dense rank over url, computed scalably.
+
+    Equivalent to ``row_number() over (order by url)`` - 1, but avoids the
+    single-partition window: range-partition by url, count rows per
+    partition (tiny driver-side pass), then offset local row numbers.
+    """
+    spark = corpus.sparkSession
+    if n_parts is None:
+        n_parts = max(corpus.rdd.getNumPartitions(), 8)
+    parted = corpus.repartitionByRange(n_parts, "url").sortWithinPartitions("url")
+
+    counts_schema = T.StructType(
+        [
+            T.StructField("pid", T.IntegerType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def _count(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        pid = -1
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        for b in batches:
+            n += len(b)
+        yield pd.DataFrame({"pid": [pid], "n": [n]})
+
+    counts = sorted(
+        parted.select("url").mapInPandas(_count, counts_schema).collect(),
+        key=lambda r: r.pid,
+    )
+    offsets = {}
+    acc = 0
+    for r in counts:
+        offsets[r.pid] = acc
+        acc += r.n
+    boff = spark.sparkContext.broadcast(offsets)
+
+    out_schema = T.StructType(
+        corpus.schema.fields + [T.StructField("doc_id", T.LongType(), False)]
+    )
+
+    def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        base = boff.value.get(pid, 0)
+        seen = 0
+        for b in batches:
+            b = b.copy()
+            b["doc_id"] = range(base + seen, base + seen + len(b))
+            seen += len(b)
+            yield b
+
+    return parted.mapInPandas(_assign, out_schema)
+
+
+# --------------------------------------------------------------------------
+# map-side posting generation (A1-A3 fused, zero shuffle)
+# --------------------------------------------------------------------------
+
+POSTING_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("tf", T.IntegerType(), False),
+        T.StructField("positions", T.ArrayType(T.IntegerType()), False),
+        T.StructField("dl", T.IntegerType(), False),
+    ]
+)
+
+
+def build_postings(corpus_with_ids: DataFrame) -> DataFrame:
+    """(url, text, doc_id) -> postings(term, doc_id, tf, positions, dl).
+
+    The per-(term,doc) aggregation happens inside the Arrow UDF (document
+    locality), so this stage is shuffle-free; ``dl`` (kept-token doc length,
+    IndexerInvertedCompressed.java:178) rides along so downstream scoring
+    never needs a doc-side join."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            terms, dids, tfs, poss, dls = [], [], [], [], []
+            for url, text, did in zip(b["url"], b["text"], b["doc_id"]):
+                toks = tokenize_document(url, text)
+                dl = len(toks)
+                by_term: dict[str, list[int]] = {}
+                for pos, t in enumerate(toks):
+                    by_term.setdefault(t, []).append(pos)
+                for t, plist in by_term.items():
+                    terms.append(t)
+                    dids.append(did)
+                    tfs.append(len(plist))
+                    poss.append(plist)
+                    dls.append(dl)
+            yield pd.DataFrame(
+                {
+                    "term": terms,
+                    "doc_id": dids,
+                    "tf": pd.array(tfs, dtype="int32"),
+                    "positions": pd.Series(poss, dtype=object),
+                    "dl": pd.array(dls, dtype="int32"),
+                }
+            )
+
+    return corpus_with_ids.select("url", "text", "doc_id").mapInPandas(
+        _gen, POSTING_SCHEMA
+    )
+
+
+def with_term_bucket(postings: DataFrame, n_buckets: int = N_TERM_BUCKETS) -> DataFrame:
+    """Storage partition key: bucket(term).  Queries prune scans to the
+    buckets of their terms — the Spark analogue of the reference's
+    ``grep -w term <firstChar>.idx`` (IndexerInvertedCompressed.java:752-796)
+    with a proper hash instead of first-char skew."""
+    return postings.withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+    )
+
+
+def term_bucket_of(term: str, spark, n_buckets: int = N_TERM_BUCKETS) -> int:
+    """Driver-side bucket computation for scan pruning on lookups."""
+    row = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(term)), F.lit(n_buckets)).cast("int").alias("b")
+    ).head()
+    return row.b
+
+
+# --------------------------------------------------------------------------
+# stats (A3-A6)
+# --------------------------------------------------------------------------
+
+
+def docs_table(corpus_with_ids: DataFrame, postings: DataFrame) -> DataFrame:
+    """docs(doc_id, url, doc_len) — doc_len = kept tokens (A3); docs whose
+    tokens were all filtered keep doc_len 0."""
+    dl = postings.groupBy("doc_id").agg(F.first("dl").alias("doc_len"))
+    return (
+        corpus_with_ids.select("doc_id", "url")
+        .join(dl, "doc_id", "left")
+        .fillna({"doc_len": 0})
+    )
+
+
+def term_stats(postings: DataFrame) -> DataFrame:
+    """term_stats(term, df, ctf) (A5/A6)."""
+    return postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").cast("long").alias("ctf")
+    )
+
+
+def collection_stats(docs: DataFrame) -> DataFrame:
+    """1-row (num_docs, total_terms, avgdl) (A4; sentinels semantics
+    IndexerInvertedCompressed.java:146-147)."""
+    return docs.agg(
+        F.count(F.lit(1)).alias("num_docs"),
+        F.sum("doc_len").cast("long").alias("total_terms"),
+        F.avg("doc_len").alias("avgdl"),
+    )
+
+
+# --------------------------------------------------------------------------
+# compressed segments (A7-A10)
+# --------------------------------------------------------------------------
+
+SEGMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("chunk", T.LongType(), False),
+        T.StructField("block_seq", T.IntegerType(), False),
+        T.StructField("n_docs", T.IntegerType(), False),
+        T.StructField("first_doc_id", T.LongType(), False),
+        T.StructField("last_doc_id", T.LongType(), False),
+        T.StructField("doc_gap_bytes", T.BinaryType(), False),
+        T.StructField("tf_bytes", T.BinaryType(), False),
+        T.StructField("dl_bytes", T.BinaryType(), False),
+        T.StructField("pos_bytes", T.BinaryType(), False),
+        T.StructField("block_max_tf", T.IntegerType(), False),
+        T.StructField("block_max_weight", T.DoubleType(), False),
+        T.StructField("sum_tf", T.LongType(), False),
+    ]
+)
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def build_segments(
+    postings: DataFrame,
+    avgdl: float,
+    chunk_docs: int = DEFAULT_CHUNK_DOCS,
+    block_docs: int = codec.BLOCK_DOCS,
+    with_positions: bool = True,
+) -> DataFrame:
+    """postings -> delta-gap+varint block segments with block-max metadata.
+
+    Grouping key (term, doc_id // chunk_docs) bounds every task at
+    chunk_docs postings regardless of term frequency (heavy-hitter safe);
+    blocks of ``block_docs`` postings carry ``block_max_weight`` =
+    max over block of the BM25 tf-part, enabling block-max WAND pruning
+    (score upper bound = idf * (k1+1) * block_max_weight)."""
+    import numpy as np
+
+    k1, b = BM25_K1, BM25_B
+
+    def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        term = pdf["term"].iloc[0]
+        chunk = int(pdf["doc_id"].iloc[0]) // chunk_docs
+        rows = []
+        for seq, lo in enumerate(range(0, len(pdf), block_docs)):
+            blk = pdf.iloc[lo : lo + block_docs]
+            doc_ids = blk["doc_id"].to_numpy(dtype=np.int64)
+            tfs = blk["tf"].to_numpy(dtype=np.int64)
+            dls = blk["dl"].to_numpy(dtype=np.int64)
+            enc = codec.encode_block(
+                doc_ids,
+                tfs,
+                [np.asarray(p, dtype=np.int64) for p in blk["positions"]]
+                if with_positions
+                else None,
+            )
+            weight = (
+                tfs / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+            ).max() if len(tfs) else 0.0
+            rows.append(
+                {
+                    "term": term,
+                    "chunk": chunk,
+                    "block_seq": seq,
+                    "n_docs": enc["n_docs"],
+                    "first_doc_id": enc["first_doc_id"],
+                    "last_doc_id": enc["last_doc_id"],
+                    "doc_gap_bytes": enc["doc_gap_bytes"],
+                    "tf_bytes": enc["tf_bytes"],
+                    "dl_bytes": codec.encode_varints(dls),
+                    "pos_bytes": enc["pos_bytes"],
+                    "block_max_tf": enc["block_max_tf"],
+                    "block_max_weight": float(weight),
+                    "sum_tf": enc["sum_tf"],
+                }
+            )
+        return pd.DataFrame(rows)
+
+    keyed = postings.withColumn(
+        "chunk", (F.col("doc_id") / F.lit(chunk_docs)).cast("long")
+    )
+    return keyed.groupBy("term", "chunk").applyInPandas(_encode, SEGMENT_SCHEMA)
+
+
+def decode_segments(segments: DataFrame, with_positions: bool = False) -> DataFrame:
+    """segments -> postings(term, doc_id, tf, dl[, positions]) — the A9
+    prefix-sum decode as a streaming mapInPandas (no shuffle)."""
+    import numpy as np
+
+    fields = [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("tf", T.IntegerType(), False),
+        T.StructField("dl", T.IntegerType(), False),
+    ]
+    if with_positions:
+        fields.append(
+            T.StructField("positions", T.ArrayType(T.IntegerType()), False)
+        )
+    schema = T.StructType(fields)
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for bdf in batches:
+            out = {"term": [], "doc_id": [], "tf": [], "dl": []}
+            pos_col = [] if with_positions else None
+            for _, row in bdf.iterrows():
+                doc_ids = codec.delta_decode(
+                    codec.decode_varints(row["doc_gap_bytes"])
+                )
+                tfs = codec.decode_varints(row["tf_bytes"])
+                dls = codec.decode_varints(row["dl_bytes"])
+                out["term"].extend([row["term"]] * len(doc_ids))
+                out["doc_id"].extend(doc_ids.tolist())
+                out["tf"].extend(tfs.tolist())
+                out["dl"].extend(dls.tolist())
+                if with_positions:
+                    pos_col.extend(
+                        [p.tolist() for p in codec.decode_positions(row["pos_bytes"], tfs)]
+                    )
+            pdf = pd.DataFrame(
+                {
+                    "term": out["term"],
+                    "doc_id": pd.array(out["doc_id"], dtype="int64"),
+                    "tf": pd.array(out["tf"], dtype="int32"),
+                    "dl": pd.array(out["dl"], dtype="int32"),
+                }
+            )
+            if with_positions:
+                pdf["positions"] = pd.Series(pos_col, dtype=object)
+            yield pdf
+
+    cols = ["term", "doc_gap_bytes", "tf_bytes", "dl_bytes"] + (
+        ["pos_bytes"] if with_positions else []
+    )
+    return segments.select(*cols).mapInPandas(_decode, schema)
