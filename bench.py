@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Besides per-query wall times it measures the two BASELINE.json headline
+numbers:
+
+- ``index_build_docs_per_sec`` — full pipeline (tokenize -> map-side
+  posting gen -> segment encode with block-max metadata) docs/sec;
+- ``bm25_p95_ms`` — p95 latency of repeated top-10 BM25 runs against the
+  pre-built postings relation (cached), the reference's serve-mode analogue.
+
+Scaling-efficiency evidence (same job at local[8] vs local[32]) lives in
+``tools/bench_scaling.py`` and is reported in BASELINE.md per the sandbox
+note in SURVEY.md §6.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# headline subset of the registry (full list runs in the correctness gate;
+# bench keeps the ones that exercise distinct execution paths)
+HEADLINE = [
+    "postings_tf",
+    "term_stats",
+    "bm25_topk",
+    "ql_topk",
+    "phrase_match",
+    "cosine_topk",
+    "dedup_exact",
+    "dedup_minhash",
+    "simhash_fp",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "lang_id",
+    "quality_score",
+    "pagerank_synth",
+    "events_windowed",
+    "events_sessionize",
+    "top_terms_prf",
+]
+
+
+def _force(df) -> int:
+    """Execute the plan; count() is enough to run every stage for our
+    aggregate-shaped results (no lazy projection is skipped that matters)."""
+    return df.count()
+
+
+def main() -> None:
+    from websearchengine_spark.session import get_spark
+    from websearchengine_spark.plans import registry
+
+    t_start = time.time()
+    spark = get_spark(f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = registry.queries()
+    sf_guess = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf_guess)
+    except ValueError:
+        sf = None
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        try:
+            _force(qs[name](spark, SF_DIR))
+            times[name] = round(time.time() - t0, 3)
+        except Exception as e:  # a broken query shouldn't kill the bench
+            times[name] = -1.0
+            print(f"bench: {name} failed: {e}", file=sys.stderr)
+
+    # --- index-build throughput (docs/sec), full compressed pipeline ---
+    from pyspark.sql import functions as F
+    from websearchengine_spark.operators import indexer
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        "text",
+        F.col("doc_id"),
+    )
+    n_docs = docs.count()
+    t0 = time.time()
+    postings = indexer.build_postings(docs)
+    avgdl_row = postings.agg(
+        (F.sum("tf") / F.count_distinct("doc_id")).alias("avgdl")
+    ).head()
+    avgdl = float(avgdl_row.avgdl or 1.0)
+    segs = indexer.build_segments(postings, avgdl=avgdl)
+    n_segments = segs.count()
+    build_sec = time.time() - t0
+    times["index_build"] = round(build_sec, 3)
+    docs_per_sec = round(n_docs / build_sec, 2) if build_sec > 0 else None
+
+    # --- BM25 serve-mode latency over a cached postings relation ---
+    from websearchengine_spark.operators import score as S
+
+    cached = postings.cache()
+    cached.count()
+    total_terms = int(cached.agg(F.sum("tf")).head()[0])
+    lat = []
+    queries = ["spark join", "data table", "hash merge sort", "query plan"]
+    for i in range(12):
+        q = queries[i % len(queries)]
+        t0 = time.time()
+        S.rank_bm25(cached, q, num_docs=n_docs, avgdl=avgdl).collect()
+        lat.append(time.time() - t0)
+    lat.sort()
+    p95 = lat[max(0, int(len(lat) * 0.95) - 1)]
+    times["bm25_query_p50"] = round(lat[len(lat) // 2], 3)
+    times["bm25_query_p95"] = round(p95, 3)
+    cached.unpersist()
+
+    total = round(time.time() - t_start, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "index_build_docs_per_sec": docs_per_sec,
+                "n_docs": n_docs,
+                "n_segments": n_segments,
+                "bm25_p95_ms": round(p95 * 1000, 1),
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

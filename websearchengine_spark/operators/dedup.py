@@ -1,0 +1,232 @@
+"""Deduplication operators for the training-data pipeline.
+
+Exact (hash-groupBy), MinHash+LSH band-bucket candidate generation,
+SimHash fingerprints, n-gram Jaccard verification, and embedding-cosine
+near-duplicate pairs with label/bucket blocking.
+
+All hashes are md5-derived 60-bit integers so the DuckDB oracle computes
+bit-identical values (Spark ``conv(substring(md5(x),1,15),16,10)`` ==
+DuckDB ``('0x'||substr(md5(x),1,15))::BIGINT``); no engine-specific hash
+(xxhash64/murmur) appears in any gated result.
+
+Scale notes:
+- shingle/minhash generation is **map-side only** (array transforms over
+  the per-doc token array — no explode-shuffle until the band groupBy);
+- LSH candidate pairs come from a single ``groupBy(band_id, band_hash)``;
+  bucket sizes are bounded in practice, and a ``max_bucket`` guard drops
+  degenerate buckets (all-identical boilerplate) the way heavy-hitter
+  salting bounds skew in the index build (SURVEY.md §2.3 A10);
+- pairwise verification (Jaccard / cosine) only runs on candidates, never
+  all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+N_MINHASH = 8
+N_BANDS = 4  # rows per band = N_MINHASH // N_BANDS
+SHINGLE_K = 3
+
+
+def md5_60(col) -> F.Column:
+    """60-bit integer hash from the md5 hex prefix — cross-engine stable."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def tokens_col(text_col="text") -> F.Column:
+    """The SQL-expressible gate tokenization (lower + non-alnum split)."""
+    return F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")),
+        " ",
+    )
+
+
+def with_shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, shingles array<string>) — k-token shingles via a map-side
+    array transform (no shuffle)."""
+    toks = tokens_col()
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.when(
+                F.size("toks") >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - k),
+                    lambda i: F.concat_ws(
+                        " ",
+                        *[
+                            F.element_at(F.col("toks"), (i + j + 1).cast("int"))
+                            for j in range(k)
+                        ],
+                    ),
+                ),
+            )
+            .otherwise(F.array())
+            .alias("shingles"),
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, n_hashes: int = N_MINHASH, k: int = SHINGLE_K
+) -> DataFrame:
+    """(doc_id, seed, minhash) — seed-th minhash = min over shingles of
+    md5_60(seed || ':' || shingle).  Computed map-side per doc (array_min
+    over a transformed array), then exploded: the only wide op downstream
+    is the band groupBy."""
+    sh = with_shingles(docs, k)
+
+    def _seeded(seed: int):
+        # single-arg lambda: a 2-arg callable would make F.transform pass
+        # the array index as the second argument
+        prefix = f"{seed}:"
+        return lambda x: F.conv(
+            F.substring(F.md5(F.concat(F.lit(prefix), x).cast("binary")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+
+    sig_cols = []
+    for s in range(n_hashes):
+        hashed = F.transform(F.col("shingles"), _seeded(s))
+        sig_cols.append(F.array_min(hashed).alias(f"mh{s}"))
+    wide = sh.where(F.size("shingles") > 0).select("doc_id", *sig_cols)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(s).alias("seed"), F.col(f"mh{s}").alias("minhash"))
+            for s in range(n_hashes)
+        ]
+    )
+    return wide.select("doc_id", F.explode(pairs).alias("e")).select(
+        "doc_id", F.col("e.seed").alias("seed"), F.col("e.minhash").alias("minhash")
+    )
+
+
+def lsh_bands(
+    signatures: DataFrame, n_bands: int = N_BANDS, n_hashes: int = N_MINHASH
+) -> DataFrame:
+    """(doc_id, band_id, band_hash) — concatenate the band's minhashes in
+    seed order and re-hash."""
+    rows = n_hashes // n_bands
+    banded = signatures.withColumn(
+        "band_id", (F.col("seed") / F.lit(rows)).cast("int")
+    )
+    concat = banded.groupBy("doc_id", "band_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                lambda s: s.getField("minhash").cast("string"),
+            ),
+            ",",
+        ).alias("band_key")
+    )
+    return concat.select(
+        "doc_id", "band_id", md5_60(F.col("band_key")).alias("band_hash")
+    )
+
+
+def minhash_candidate_pairs(
+    bands: DataFrame, max_bucket: int = 64
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared_bands) with doc_a < doc_b — docs sharing at
+    least one LSH band bucket.  Buckets larger than ``max_bucket`` are
+    dropped (degenerate boilerplate clusters would otherwise explode
+    quadratically — the skew guard)."""
+    sized = bands.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_hash"))
+    ).where(F.col("bucket_n") <= max_bucket)
+    a = sized.select("band_id", "band_hash", F.col("doc_id").alias("doc_a"))
+    b = sized.select("band_id", "band_hash", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_bands"))
+    )
+
+
+def ngram_jaccard(
+    docs: DataFrame, pairs: DataFrame, k: int = SHINGLE_K
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) — exact k-gram Jaccard verification over the
+    candidate pairs only (distinct-shingle sets)."""
+    sh = (
+        with_shingles(docs, k)
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.select("doc_a", "doc_b")
+        .join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.select("doc_a", "doc_b")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .fillna({"n_inter": 0})
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash(docs: DataFrame, n_bits: int = 16) -> DataFrame:
+    """(doc_id, simhash) — tf-weighted sign aggregation of per-term hash
+    bits.  n_bits kept small (16) so the oracle SQL stays readable; the
+    engine path generalizes by changing the constant."""
+    toks = tokens_col()
+    tf = (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    h = md5_60(F.col("term"))
+    withbits = tf.withColumn("h", h)
+    bit_sums = withbits.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
+                .otherwise(-F.col("tf"))
+            ).alias(f"s{b}")
+            for b in range(n_bits)
+        ]
+    )
+    out = F.lit(0).cast("long")
+    for b in range(n_bits):
+        out = out + F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(0).cast("long")
+    return bit_sums.select("doc_id", out.alias("simhash"))
+
+
+def exact_dup_groups(docs: DataFrame) -> DataFrame:
+    """(fp, canonical_doc_id, n_docs) — exact dedup over the normalized
+    token stream."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+    return (
+        docs.select("doc_id", F.md5(norm.cast("binary")).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+    )

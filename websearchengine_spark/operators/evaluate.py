@@ -1,0 +1,144 @@
+"""IR evaluation metrics (SURVEY.md §2.7, E1-E8).
+
+Input contract: a results DataFrame ``(qid, doc_id, rank)`` with rank
+1-based in retrieval order, and a qrels DataFrame ``(qid, doc_id, grade)``
+with grade in {Perfect, Excellent, Good, Fair, Bad}.
+
+All metrics are window/aggregate expressions — one shuffle keyed by qid;
+at scale each query's result list is tiny so qid-partitioned windows are
+skew-free.
+
+Semantics follow hw1/instructor Evaluator.java:
+- binary relevance: Perfect/Excellent/Good -> 1.0 else 0 (:61-93);
+- graded gains: Perfect 10, Excellent 7, Good 5, Fair 1 (:318-354);
+- R@k = relevant-retrieved@k / relevant-retrieved(full list) (:214-316);
+- NDCG ideal from sorted-desc RETRIEVED gains, not full qrels (:385-454,
+  nonstandard — documented reference behavior, replicated);
+- DCG formula gain[0] + Σ_{i>=1} gain[i]/log2(i+1), positions 0-based;
+- MRR = 1/rank of first relevant (:356-383);
+- MAP = Σ(prec at each relevant hit)/total relevant retrieved (:130-156).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+KS = (1, 5, 10)
+
+
+def binary_rel() -> F.Column:
+    return (
+        F.when(F.col("grade").isin("Perfect", "Excellent", "Good"), 1.0)
+        .otherwise(0.0)
+    )
+
+
+def graded_gain() -> F.Column:
+    return (
+        F.when(F.col("grade") == "Perfect", 10.0)
+        .when(F.col("grade") == "Excellent", 7.0)
+        .when(F.col("grade") == "Good", 5.0)
+        .when(F.col("grade") == "Fair", 1.0)
+        .otherwise(0.0)
+    )
+
+
+def _joined(results: DataFrame, qrels: DataFrame) -> DataFrame:
+    return (
+        results.join(qrels, ["qid", "doc_id"], "left")
+        .withColumn("rel", F.coalesce(binary_rel(), F.lit(0.0)))
+        .withColumn("gain", F.coalesce(graded_gain(), F.lit(0.0)))
+    )
+
+
+def metrics_per_query(results: DataFrame, qrels: DataFrame) -> DataFrame:
+    """One row per qid with P@k, R@k, F1@k, MAP, NDCG@k, MRR, accuracy."""
+    j = _joined(results, qrels)
+    w = Window.partitionBy("qid").orderBy("rank")
+    j = j.withColumn("cum_rel", F.sum("rel").over(w)).withColumn(
+        "prec_at", F.col("cum_rel") / F.col("rank")
+    )
+    total_rel = F.sum("rel")
+    aggs = [
+        total_rel.alias("rel_ret"),
+        F.count(F.lit(1)).cast("long").alias("n_ret"),
+    ]
+    for k in KS:
+        aggs.append(
+            (F.sum(F.when(F.col("rank") <= k, F.col("rel"))) / k).alias(f"p_at_{k}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("rank") <= k, F.col("rel"))).alias(f"relret_{k}")
+        )
+    aggs.append(
+        F.sum(F.when(F.col("rel") > 0, F.col("prec_at"))).alias("sum_prec_at_rel")
+    )
+    aggs.append(
+        F.min(F.when(F.col("rel") > 0, F.col("rank"))).alias("first_rel_rank")
+    )
+    # DCG@k with 0-based positions: gain/ max(1, log2(pos+1)) where pos = rank-1
+    dcg_term = F.col("gain") / F.greatest(F.lit(1.0), F.log2(F.col("rank")))
+    for k in KS:
+        aggs.append(F.sum(F.when(F.col("rank") <= k, dcg_term)).alias(f"dcg_{k}"))
+    # ideal DCG from retrieved gains sorted desc (reference nonstandard)
+    ideal_term = F.col("gain_sorted") / F.greatest(
+        F.lit(1.0), F.log2(F.col("ideal_rank"))
+    )
+
+    # build ideal ranks via a second pass: sort gains desc per qid
+    gains_sorted = j.select(
+        "qid",
+        F.col("gain").alias("gain_sorted"),
+        F.row_number()
+        .over(Window.partitionBy("qid").orderBy(F.desc("gain"), F.asc("rank")))
+        .alias("ideal_rank"),
+    )
+    idcg_aggs = [
+        F.sum(F.when(F.col("ideal_rank") <= k, ideal_term)).alias(f"idcg_{k}")
+        for k in KS
+    ]
+    idcg = gains_sorted.groupBy("qid").agg(*idcg_aggs)
+
+    base = j.groupBy("qid").agg(*aggs)
+    out = base.join(idcg, "qid")
+    cols = [F.col("qid")]
+    for k in KS:
+        p = F.round(F.col(f"p_at_{k}"), 6)
+        r = F.round(
+            F.when(F.col("rel_ret") > 0, F.col(f"relret_{k}") / F.col("rel_ret"))
+            .otherwise(0.0),
+            6,
+        )
+        f1 = F.round(
+            F.when((p + r) > 0, 2 * p * r / (p + r)).otherwise(0.0), 6
+        )
+        cols += [p.alias(f"p{k}"), r.alias(f"r{k}"), f1.alias(f"f1_{k}")]
+    cols.append(
+        F.round(
+            F.when(
+                F.col("rel_ret") > 0, F.col("sum_prec_at_rel") / F.col("rel_ret")
+            ).otherwise(0.0),
+            6,
+        ).alias("map")
+    )
+    for k in KS:
+        cols.append(
+            F.round(
+                F.when(F.col(f"idcg_{k}") > 0, F.col(f"dcg_{k}") / F.col(f"idcg_{k}"))
+                .otherwise(0.0),
+                6,
+            ).alias(f"ndcg{k}")
+        )
+    cols.append(
+        F.round(
+            F.when(
+                F.col("first_rel_rank").isNotNull(), 1.0 / F.col("first_rel_rank")
+            ).otherwise(0.0),
+            6,
+        ).alias("mrr")
+    )
+    cols.append(
+        F.round(F.col("rel_ret") / F.col("n_ret"), 6).alias("accuracy")
+    )
+    return out.select(*cols)

@@ -549,9 +549,15 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
 }
 
 
+def _full_registry() -> dict[str, tuple[Callable, str | None]]:
+    from websearchengine_spark.plans import registry_ext
+
+    return {**REGISTRY, **registry_ext.EXT_REGISTRY}
+
+
 def queries() -> dict[str, Callable]:
-    return {name: fn for name, (fn, _) in REGISTRY.items()}
+    return {name: fn for name, (fn, _) in _full_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in REGISTRY.items() if sql}
+    return {name: sql for name, (_, sql) in _full_registry().items() if sql}

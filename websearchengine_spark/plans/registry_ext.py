@@ -1,0 +1,433 @@
+"""Registry extension: dedup / similarity / mining / text-analysis gate
+queries, each paired with DuckDB oracle SQL (same conventions as
+plans/registry.py — md5-derived 60-bit hashes for cross-engine identity,
+floats rounded on both sides, deterministic (score DESC, id ASC) top-k).
+
+Spark sides call the real engine modules (operators/dedup.py,
+operators/similarity.py, operators/mining.py) so the driver gate exercises
+engine code, not inline reimplementations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from websearchengine_spark.operators import dedup, mining, similarity
+from websearchengine_spark.plans import registry as R
+
+N_MINHASH = dedup.N_MINHASH
+N_BANDS = dedup.N_BANDS
+ROWS_PER_BAND = N_MINHASH // N_BANDS
+SHINGLE_K = dedup.SHINGLE_K
+MAX_BUCKET = 64
+SIMHASH_BITS = 16
+ANN_K = 20
+NEAR_DUP_T = 0.35
+PR_FANOUT = 3
+
+_H = "CAST(('0x' || substr(md5({x}),1,15)) AS BIGINT)"
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --------------------------------------------------------------------------
+# shared SQL CTE fragments
+# --------------------------------------------------------------------------
+
+# shingles via lead() — identical set to the engine's array-transform path
+_SQL_SHINGLE_CTE = (
+    R._SQL_TOK_CTE
+    + f""",
+sh0 AS (
+  SELECT doc_id,
+         term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w
+           AS shingle
+  FROM tok WHERE term <> ''
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+shingles AS (SELECT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL)"""
+)
+
+_seeds = ",".join(str(s) for s in range(N_MINHASH))
+_SQL_MINHASH_CTE = (
+    _SQL_SHINGLE_CTE
+    + f""",
+seeds AS (SELECT unnest([{_seeds}]) AS seed),
+mh AS (
+  SELECT doc_id, seed,
+         min({_H.format(x="seed::VARCHAR || ':' || shingle")}) AS minhash
+  FROM shingles, seeds GROUP BY doc_id, seed
+)"""
+)
+
+_SQL_BANDS_CTE = (
+    _SQL_MINHASH_CTE
+    + f""",
+band AS (
+  SELECT doc_id, CAST(floor(seed / {ROWS_PER_BAND}.0) AS INT) AS band_id,
+         string_agg(minhash::VARCHAR, ',' ORDER BY seed) AS band_key
+  FROM mh GROUP BY doc_id, 2
+),
+bh AS (
+  SELECT doc_id, band_id, {_H.format(x="band_key")} AS band_hash FROM band
+),
+sized AS (
+  SELECT *, count(*) OVER (PARTITION BY band_id, band_hash) AS bn FROM bh
+),
+bkt AS (SELECT * FROM sized WHERE bn <= {MAX_BUCKET}),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         count(*)::BIGINT AS n_shared_bands
+  FROM bkt a JOIN bkt b USING (band_id, band_hash)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)"""
+)
+
+
+# --------------------------------------------------------------------------
+# dedup family
+# --------------------------------------------------------------------------
+
+
+def q_minhash_signature(spark, sf_dir):
+    """MinHash signatures (doc_id, seed, minhash) — map-side array
+    transforms, no shuffle until downstream banding."""
+    return dedup.minhash_signatures(_docs(spark, sf_dir))
+
+
+SQL_MINHASH_SIGNATURE = f"""WITH {_SQL_MINHASH_CTE}
+SELECT doc_id, seed, minhash FROM mh"""
+
+
+def q_dedup_minhash(spark, sf_dir):
+    """LSH band-bucket candidate pairs (doc_a, doc_b, n_shared_bands)."""
+    sig = dedup.minhash_signatures(_docs(spark, sf_dir))
+    return dedup.minhash_candidate_pairs(dedup.lsh_bands(sig), MAX_BUCKET)
+
+
+SQL_DEDUP_MINHASH = f"""WITH {_SQL_BANDS_CTE}
+SELECT doc_a, doc_b, n_shared_bands FROM cand"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard verification over the MinHash candidates."""
+    docs = _docs(spark, sf_dir)
+    sig = dedup.minhash_signatures(docs)
+    pairs = dedup.minhash_candidate_pairs(dedup.lsh_bands(sig), MAX_BUCKET)
+    return dedup.ngram_jaccard(docs, pairs)
+
+
+SQL_NGRAM_JACCARD = f"""WITH {_SQL_BANDS_CTE},
+shset AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+sizes AS (SELECT doc_id, count(*) AS n FROM shset GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN shset sa ON sa.doc_id = c.doc_a
+  JOIN shset sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       round(coalesce(inter.n_inter, 0)
+             / (na.n + nb.n - coalesce(inter.n_inter, 0))::DOUBLE, 6)
+         AS jaccard
+FROM cand c
+LEFT JOIN inter ON inter.doc_a = c.doc_a AND inter.doc_b = c.doc_b
+JOIN sizes na ON na.doc_id = c.doc_a
+JOIN sizes nb ON nb.doc_id = c.doc_b"""
+
+
+def q_simhash_fp(spark, sf_dir):
+    """tf-weighted 16-bit SimHash fingerprints."""
+    return dedup.simhash(_docs(spark, sf_dir), SIMHASH_BITS)
+
+
+_sim_sums = ",\n         ".join(
+    f"sum(CASE WHEN ((h >> {b}) & 1) = 1 THEN tf ELSE -tf END) AS s{b}"
+    for b in range(SIMHASH_BITS)
+)
+_sim_out = " + ".join(
+    f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+)
+SQL_SIMHASH_FP = f"""WITH {R._SQL_POSTINGS_CTE},
+hp AS (
+  SELECT doc_id, tf, {_H.format(x="term")} AS h FROM postings
+),
+bits AS (
+  SELECT doc_id,
+         {_sim_sums}
+  FROM hp GROUP BY doc_id
+)
+SELECT doc_id, CAST({_sim_out} AS BIGINT) AS simhash FROM bits"""
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+
+def _query_vec(spark, sf_dir):
+    row = _emb(spark, sf_dir).where(F.col("vec_id") == 0).head()
+    return [float(v) for v in row.embedding]
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-20 to the vec_id=0 embedding — JVM-side
+    zip_with/aggregate dot product, TakeOrderedAndProject top-k."""
+    return similarity.cosine_topk_bruteforce(
+        _emb(spark, sf_dir), _query_vec(spark, sf_dir), ANN_K
+    )
+
+
+_SQL_COS = """round(
+    list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
+    / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+       * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))), 6)"""
+
+SQL_ANN_COSINE_TOPK = f"""WITH q AS (
+  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+)
+SELECT e.vec_id, {_SQL_COS} AS score
+FROM embeddings e, q
+ORDER BY score DESC, vec_id ASC LIMIT {ANN_K}"""
+
+_dims = similarity.LSH_SIGN_DIMS
+_bucket_sql = " + ".join(
+    f"(CASE WHEN embedding[{d + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+    for i, d in enumerate(_dims)
+)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Sign-LSH bucketed ANN: scan only the query's bucket (partition-
+    pruned on a stored table) — the scale path for 100 TB embeddings."""
+    return similarity.cosine_topk_lsh(
+        _emb(spark, sf_dir), _query_vec(spark, sf_dir), ANN_K
+    )
+
+
+SQL_ANN_LSH_TOPK = f"""WITH b AS (
+  SELECT *, {_bucket_sql} AS bucket FROM embeddings
+),
+q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+SELECT e.vec_id, {_SQL_COS} AS score
+FROM b e, q WHERE e.bucket = q.qb
+ORDER BY score DESC, vec_id ASC LIMIT {ANN_K}"""
+
+
+def q_near_dup_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, label-blocked (never all-pairs)."""
+    return similarity.near_dup_pairs_cosine(
+        _emb(spark, sf_dir), NEAR_DUP_T, "label"
+    )
+
+
+SQL_NEAR_DUP_COSINE = f"""WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS score
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) >= {NEAR_DUP_T}"""
+
+
+# --------------------------------------------------------------------------
+# mining family
+# --------------------------------------------------------------------------
+
+
+def q_pagerank_synth(spark, sf_dir):
+    """G2 PageRank (λ=0.9, 2 synchronous iterations, init 1.0, no dangling
+    redistribution) over the deterministic synthetic link graph."""
+    docs = _docs(spark, sf_dir)
+    edges = mining.synthetic_edges(docs, PR_FANOUT)
+    return mining.pagerank(docs, edges)
+
+
+_edge_union = "\n  UNION\n".join(
+    f"  SELECT doc_id AS src_id, (doc_id*31 + {7 * j}) % (SELECT count(*) FROM documents) AS dst_id FROM documents"
+    for j in range(1, PR_FANOUT + 1)
+)
+SQL_PAGERANK_SYNTH = f"""WITH e AS (
+  SELECT DISTINCT src_id, dst_id FROM (
+{_edge_union}
+  ) WHERE src_id <> dst_id
+),
+nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+od AS (SELECT src_id, count(*)::DOUBLE AS out_deg FROM e GROUP BY 1),
+c1 AS (
+  SELECT e.dst_id, sum(1.0 / od.out_deg) AS mass
+  FROM e JOIN od USING (src_id) GROUP BY 1
+),
+r1 AS (
+  SELECT d.doc_id, 0.9 * coalesce(c1.mass, 0) + 0.1 / nn.n AS pr
+  FROM documents d LEFT JOIN c1 ON c1.dst_id = d.doc_id, nn
+),
+c2 AS (
+  SELECT e.dst_id, sum(r1.pr / od.out_deg) AS mass
+  FROM e JOIN od USING (src_id) JOIN r1 ON r1.doc_id = e.src_id GROUP BY 1
+),
+r2 AS (
+  SELECT d.doc_id, 0.9 * coalesce(c2.mass, 0) + 0.1 / nn.n AS pr
+  FROM documents d LEFT JOIN c2 ON c2.dst_id = d.doc_id, nn
+)
+SELECT doc_id, round(pr, 9) AS page_rank FROM r2"""
+
+
+def q_top_terms_prf(spark, sf_dir):
+    """G5 PRF: top-10 BM25 docs -> summed term tfs -> top-10 terms with
+    retained-mass normalization (term, prob)."""
+    top = R.q_bm25_topk(spark, sf_dir).select("doc_id")
+    postings = R._postings(spark, sf_dir)
+    return mining.prf_representation(top, postings, 10)
+
+
+SQL_TOP_TERMS_PRF = f"""WITH {R._SQL_POSTINGS_CTE},
+doclen AS (SELECT doc_id, sum(tf)::BIGINT AS doc_len FROM postings GROUP BY doc_id),
+consts AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(tf) FROM postings)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+qp AS (SELECT * FROM postings WHERE term IN ({R._terms_sql})),
+ts AS (SELECT term, count(*)::DOUBLE AS df FROM qp GROUP BY term),
+scored AS (
+  SELECT qp.doc_id,
+         round(sum(
+           ln(1.0 + (consts.n - ts.df + 0.5) / (ts.df + 0.5))
+           * qp.tf * {R.BM25_K1 + 1.0}
+           / (qp.tf + {R.BM25_K1} * (1.0 - {R.BM25_B} + {R.BM25_B} * doclen.doc_len / consts.avgdl))
+         ), 6) AS score,
+         count(DISTINCT qp.term) AS n_hit
+  FROM qp JOIN doclen USING (doc_id) JOIN ts USING (term), consts
+  GROUP BY qp.doc_id
+),
+topd AS (
+  SELECT doc_id FROM scored WHERE n_hit = {len(R.QUERY_TERMS)}
+  ORDER BY score DESC, doc_id ASC LIMIT 10
+),
+summed AS (
+  SELECT term, sum(tf) AS freq FROM postings JOIN topd USING (doc_id)
+  GROUP BY term
+),
+topt AS (SELECT term, freq FROM summed ORDER BY freq DESC, term ASC LIMIT 10)
+SELECT term, round(freq / (sum(freq) OVER ()), 9) AS prob FROM topt"""
+
+
+def q_spearman_rank(spark, sf_dir):
+    """G4 Spearman ρ between per-doc token count and n_chars (desc ranks,
+    doc_id tiebreak), textbook formula via corr of ranks."""
+    t = R._tok(spark, sf_dir)
+    m = t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    metrics = docs.join(m, "doc_id")
+    out = mining.spearman(metrics, "n_tokens", "n_chars")
+    return out.select(F.round("rho", 6).alias("rho"))
+
+
+SQL_SPEARMAN_RANK = f"""WITH {R._SQL_TOK_CTE},
+m AS (
+  SELECT doc_id, count(*) AS n_tokens FROM tok WHERE term <> ''
+  GROUP BY doc_id
+),
+j AS (
+  SELECT d.doc_id, m.n_tokens, d.n_chars
+  FROM documents d JOIN m USING (doc_id)
+),
+r AS (
+  SELECT row_number() OVER (ORDER BY n_tokens DESC, doc_id ASC) AS rx,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS ry
+  FROM j
+)
+SELECT round(corr(rx, ry), 6) AS rho FROM r"""
+
+
+# --------------------------------------------------------------------------
+# text analysis / events
+# --------------------------------------------------------------------------
+
+_BPE_RE = r"[a-z0-9]+|[^a-z0-9\s]"
+
+
+def q_token_count(spark, sf_dir):
+    """BPE-ish token counting: word runs + isolated punctuation marks."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_RE), F.lit(0))
+        ).cast("long").alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars_raw"),
+    )
+
+
+SQL_TOKEN_COUNT = f"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '{_BPE_RE}'))::BIGINT AS n_bpe_tokens,
+       length(text)::BIGINT AS n_chars_raw
+FROM documents"""
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Sessionization (30-min inactivity gap) via lag + running sum —
+    the batch equivalent of the streaming stateful session operator."""
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("timestamp").cast("double")
+    gap = sec - F.lag(sec).over(w)
+    x = e.withColumn(
+        "new_s",
+        F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0),
+    ).withColumn("session_id", F.sum("new_s").over(w))
+    return x.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.min(sec), 3).alias("start_ts"),
+        F.round(F.max(sec), 3).alias("end_ts"),
+    )
+
+
+SQL_EVENTS_SESSIONIZE = """WITH x AS (
+  SELECT user_id, event_id, ts, epoch(ts)::DOUBLE AS sec,
+         CASE WHEN lag(epoch(ts)::DOUBLE) OVER w IS NULL
+                   OR epoch(ts)::DOUBLE - lag(epoch(ts)::DOUBLE) OVER w > 1800.0
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+y AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM x
+)
+SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+       round(min(sec), 3) AS start_ts, round(max(sec), 3) AS end_ts
+FROM y GROUP BY 1, 2"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+EXT_REGISTRY = {
+    "minhash_signature": (q_minhash_signature, SQL_MINHASH_SIGNATURE),
+    "dedup_minhash": (q_dedup_minhash, SQL_DEDUP_MINHASH),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "simhash_fp": (q_simhash_fp, SQL_SIMHASH_FP),
+    "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
+    "near_dup_cosine": (q_near_dup_cosine, SQL_NEAR_DUP_COSINE),
+    "pagerank_synth": (q_pagerank_synth, SQL_PAGERANK_SYNTH),
+    "top_terms_prf": (q_top_terms_prf, SQL_TOP_TERMS_PRF),
+    "spearman_rank": (q_spearman_rank, SQL_SPEARMAN_RANK),
+    "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
+}
