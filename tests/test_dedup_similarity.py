@@ -1,0 +1,182 @@
+"""Unit tests for operators/dedup.py and operators/similarity.py against
+pure-Python oracles (hashlib md5 / numpy)."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def _toks(text: str) -> list[str]:
+    return [t for t in re.sub(r"[^a-z0-9]+", " ", text.lower()).split() if t]
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _shingles(text: str, k: int = 3) -> list[str]:
+    t = _toks(text)
+    return [" ".join(t[i : i + k]) for i in range(len(t) - k + 1)]
+
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy dog near the river delta"),  # near dup
+    (3, "completely different content about spark query engines and joins"),
+    (4, "spark query engines process joins with hash partitioning at scale"),
+    (5, "tiny doc"),  # < 3 tokens -> no shingles
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_minhash_matches_python_oracle(spark, docs_df):
+    from websearchengine_spark.operators import dedup
+
+    got = {
+        (r.doc_id, r.seed): r.minhash
+        for r in dedup.minhash_signatures(docs_df).collect()
+    }
+    for doc_id, text in DOCS:
+        sh = _shingles(text)
+        if not sh:
+            assert not any(k[0] == doc_id for k in got)
+            continue
+        for seed in range(dedup.N_MINHASH):
+            want = min(_h60(f"{seed}:{s}") for s in sh)
+            assert got[(doc_id, seed)] == want, (doc_id, seed)
+
+
+def test_minhash_candidates_find_planted_dups(spark, docs_df):
+    from websearchengine_spark.operators import dedup
+
+    sig = dedup.minhash_signatures(docs_df)
+    pairs = {
+        (r.doc_a, r.doc_b): r.n_shared_bands
+        for r in dedup.minhash_candidate_pairs(dedup.lsh_bands(sig)).collect()
+    }
+    # exact dup pair shares every band
+    assert pairs[(0, 1)] == dedup.N_BANDS
+    # near dup (1-token difference) shares at least one band
+    assert (0, 2) in pairs or (1, 2) in pairs
+
+
+def test_ngram_jaccard_values(spark, docs_df):
+    from websearchengine_spark.operators import dedup
+
+    sig = dedup.minhash_signatures(docs_df)
+    pairs = dedup.minhash_candidate_pairs(dedup.lsh_bands(sig))
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard(docs_df, pairs).collect()
+    }
+    assert jac[(0, 1)] == 1.0
+    for (a, b), v in jac.items():
+        sa, sb = set(_shingles(DOCS[a][1])), set(_shingles(DOCS[b][1]))
+        want = round(len(sa & sb) / len(sa | sb), 6)
+        assert v == pytest.approx(want, abs=1e-9)
+
+
+def test_simhash_oracle_and_dup_property(spark, docs_df):
+    from websearchengine_spark.operators import dedup
+
+    got = {r.doc_id: r.simhash for r in dedup.simhash(docs_df).collect()}
+    assert got[0] == got[1]  # identical docs -> identical fingerprint
+    for doc_id, text in DOCS:
+        tf: dict[str, int] = {}
+        for t in _toks(text):
+            tf[t] = tf.get(t, 0) + 1
+        sums = [0] * 16
+        for t, n in tf.items():
+            h = _h60(t)
+            for b in range(16):
+                sums[b] += n if (h >> b) & 1 else -n
+        want = sum(1 << b for b in range(16) if sums[b] > 0)
+        assert got[doc_id] == want
+
+
+VECS = np.array(
+    [
+        [1.0, 0.0, 0.2, -0.3],
+        [0.9, 0.1, 0.2, -0.2],
+        [-1.0, 0.5, 0.0, 0.3],
+        [0.0, 1.0, -0.5, 0.1],
+        [0.1, 0.9, -0.4, 0.0],
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rows = [(i, [float(x) for x in VECS[i]], int(i % 2)) for i in range(len(VECS))]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def _cos(a, b):
+    return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+def test_bruteforce_cosine_topk(spark, emb_df):
+    from websearchengine_spark.operators import similarity
+
+    q = [float(x) for x in VECS[0]]
+    got = [(r.vec_id, r.score) for r in
+           similarity.cosine_topk_bruteforce(emb_df, q, k=3).collect()]
+    # float32 storage: compare against the float32-rounded vectors
+    v32 = VECS.astype(np.float32).astype(np.float64)
+    want = sorted(
+        ((i, round(_cos(v32[i], np.array(q)), 6)) for i in range(len(VECS))),
+        key=lambda t: (-t[1], t[0]),
+    )[:3]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert g[1] == pytest.approx(w[1], abs=1e-6)
+
+
+def test_lsh_topk_is_subset_of_bucket(spark, emb_df):
+    from websearchengine_spark.operators import similarity
+
+    dims = [0, 1]
+    q = [float(x) for x in VECS[0]]
+    got = similarity.cosine_topk_lsh(emb_df, q, k=5, dims=dims).collect()
+    v32 = VECS.astype(np.float32)
+    qb = sum(1 << i for i, d in enumerate(dims) if q[d] >= 0)
+    bucket = {
+        i for i in range(len(VECS))
+        if sum(1 << j for j, d in enumerate(dims) if v32[i][d] >= 0) == qb
+    }
+    assert {r.vec_id for r in got} <= bucket
+    assert 0 in {r.vec_id for r in got}
+
+
+def test_near_dup_pairs_blocked(spark, emb_df):
+    from websearchengine_spark.operators import similarity
+
+    got = {
+        (r.vec_a, r.vec_b): r.score
+        for r in similarity.near_dup_pairs_cosine(emb_df, 0.9, "label").collect()
+    }
+    v32 = VECS.astype(np.float32).astype(np.float64)
+    for (a, b), s in got.items():
+        assert a < b and a % 2 == b % 2  # same label block
+        assert s == pytest.approx(round(_cos(v32[a], v32[b]), 6), abs=1e-9)
+        assert s >= 0.9
+    # the planted near-identical pair (0,2? different label) -> check (1,3)?
+    # vecs 0 and 2 are dissimilar; the near pair with same label parity is
+    # (1,3)? compute expected membership directly:
+    expect = {
+        (a, b)
+        for a in range(len(VECS))
+        for b in range(a + 1, len(VECS))
+        if a % 2 == b % 2 and round(_cos(v32[a], v32[b]), 6) >= 0.9
+    }
+    assert set(got) == expect

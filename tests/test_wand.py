@@ -1,0 +1,97 @@
+"""Block-max WAND segment query path: pruned result must equal the
+unpruned result and the postings-path BM25, and the prune must actually
+skip chunks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from websearchengine_spark.operators import indexer, score, wand
+from websearchengine_spark.operators import query as Q
+
+
+def _stem(words):
+    # index terms are post-stem (tokenize_document); stem the query the
+    # same way the parser does
+    out = []
+    for w in words:
+        toks, _, _ = Q.split_tokens(w)
+        out.extend(toks)
+    return out
+
+
+@pytest.fixture(scope="module")
+def seg_index(spark, spark_index):
+    postings = spark_index["postings"]
+    avgdl = float(spark_index["avgdl"])
+    segs = indexer.build_segments(
+        postings, avgdl=avgdl, chunk_docs=16, block_docs=8
+    ).cache()
+    segs.count()
+    return segs, avgdl
+
+
+QUERIES = [
+    (_stem(["data", "mining"]), "conjunctive"),
+    (_stem(["data", "mining"]), "disjunctive"),
+    (_stem(["web", "search", "salsa"]), "disjunctive"),
+    (_stem(["google"]), "conjunctive"),
+]
+
+
+@pytest.mark.parametrize("terms,mode", QUERIES)
+def test_pruned_equals_unpruned(spark, spark_index, seg_index, terms, mode):
+    segs, avgdl = seg_index
+    n = spark_index["num_docs"]
+    stats: dict = {}
+    pruned = wand.bm25_topk_segments(
+        segs, terms, n, avgdl, k=5, mode=mode, stats=stats
+    ).collect()
+    full = wand.bm25_topk_segments(
+        segs, terms, n, avgdl, k=5, mode=mode, prune=False
+    ).collect()
+    assert [(r.doc_id, round(r.score, 9)) for r in pruned] == [
+        (r.doc_id, round(r.score, 9)) for r in full
+    ]
+    assert stats["n_chunks"] > 0
+
+
+def test_matches_postings_path(spark, spark_index, seg_index):
+    segs, avgdl = seg_index
+    n = spark_index["num_docs"]
+    terms = _stem(["data", "mining"])
+    got = wand.bm25_topk_segments(
+        segs, terms, n, avgdl, k=5, mode="conjunctive"
+    ).collect()
+    tp = spark_index["postings"].where(F.col("term").isin(terms)).select(
+        F.col("term").alias("token"), "doc_id", "tf", "dl"
+    )
+    want = (
+        score.topk(score.bm25_scores(tp, terms, n, avgdl, "conjunctive"), 5)
+        .collect()
+    )
+    assert [(r.doc_id, pytest.approx(r.score, rel=1e-9)) for r in got] == [
+        (r.doc_id, r.score) for r in want
+    ]
+
+
+def test_prune_skips_chunks(spark, spark_index, seg_index):
+    segs, avgdl = seg_index
+    n = spark_index["num_docs"]
+    stats: dict = {}
+    wand.bm25_topk_segments(
+        segs, _stem(["salsa"]), n, avgdl, k=3, mode="disjunctive",
+        probe_chunks=1, stats=stats,
+    ).collect()
+    # with k=3 and a selective term, at least some chunks should fall
+    # below theta (fixture has ~8 chunks of 16 docs)
+    assert stats["probed"] == 1
+    assert stats["survivors"] < stats["n_chunks"] - stats["probed"], stats
+
+
+def test_empty_and_missing_terms(spark, spark_index, seg_index):
+    segs, avgdl = seg_index
+    n = spark_index["num_docs"]
+    out = wand.bm25_topk_segments(segs, ["zzzznotaterm"], n, avgdl, k=5)
+    assert out.count() == 0

@@ -1,0 +1,117 @@
+"""Structured Streaming surface (SURVEY.md §2.8: the reference has no
+streaming — serving is request/response over a static index — so this
+module is the Spark-native extension the build brief asks for: streaming
+ingestion that reuses the SAME batch operators).
+
+Three streaming shapes:
+
+- windowed event aggregation with watermarked late-data handling
+  (tumbling window; the batch equivalence is gated by the driver's
+  ``events_windowed`` registry query);
+- session windows (``F.session_window``, 30-min inactivity gap) — the
+  streaming analogue of the batch ``events_sessionize`` registry query;
+- incremental index build via ``foreachBatch``: each micro-batch of new
+  documents runs the SAME map-side posting/segment pipeline
+  (operators/indexer.py) and lands as a new committed partition through
+  the checkpoint manifest — streaming and batch builds share one code
+  path, so streaming output merges with batch indexes via
+  operators/merge.py without re-tokenizing.
+
+Tests drive these with file sources + ``trigger(availableNow=True)`` and
+assert equality with the batch computation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """(window_start, event_type, n_events, sum_value) — tumbling-window
+    counts; on a streaming input the watermark bounds state and admits
+    late events up to ``watermark``."""
+    # watermarks require TIMESTAMP (not NTZ); session tz is UTC so the
+    # cast is value-preserving
+    src = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    if src.isStreaming:
+        src = src.withWatermark("ts", watermark)
+    w = F.window("ts", window)
+    return (
+        src.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """(user_id, session_start, session_end, n_events) via session_window —
+    Spark's native stateful session operator; state per (user, open
+    session) is bounded by the watermark."""
+    src = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    if src.isStreaming:
+        src = src.withWatermark("ts", watermark)
+    sw = F.session_window("ts", gap)
+    return (
+        src.groupBy("user_id", sw.alias("sw"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("sw.start")).alias("session_start"),
+            F.unix_timestamp(F.col("sw.end")).alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def incremental_index_query(
+    corpus_stream: DataFrame,
+    out_dir: str,
+    spark_checkpoint_dir: str,
+    avgdl: float,
+    docs_per_part: int = 1 << 16,
+):
+    """Streaming index build: every micro-batch is tokenized/encoded with
+    the batch pipeline and committed through the lineage manifest.  Returns
+    the (unstarted) DataStreamWriter; caller picks the trigger.
+
+    doc_ids in a streaming context come from the batch's dense range:
+    each micro-batch claims the range after the current manifest maximum —
+    deterministic given the arrival order of batches."""
+    from websearchengine_spark.operators import checkpoint, indexer
+
+    cp = checkpoint.IndexCheckpointer(out_dir, docs_per_part=docs_per_part)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        committed = cp.lineage()
+        base = max((l.doc_hi + 1 for l in committed), default=0)
+        # align the batch to fresh partition ranges after `base`
+        start_part = (base + docs_per_part - 1) // docs_per_part
+        ids = indexer.assign_doc_ids(batch_df, n_parts=4).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(start_part * docs_per_part)
+        )
+        cp.build(ids, avgdl=avgdl)
+
+    return (
+        corpus_stream.writeStream.outputMode("update")
+        .option("checkpointLocation", spark_checkpoint_dir)
+        .foreachBatch(_process)
+    )
