@@ -99,7 +99,7 @@ def main() -> None:
     )
     n_docs = docs.count()
     t0 = time.time()
-    postings = indexer.build_postings(docs)
+    postings = indexer.build_postings(docs, positions_as="bytes")
     avgdl_row = postings.agg(
         (F.sum("tf") / F.count_distinct("doc_id")).alias("avgdl")
     ).head()

@@ -1,0 +1,132 @@
+"""Ads subsystem (R9-R11) vs an inline pure-Python oracle over the
+deterministic ads fixture."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from websearchengine_spark.functions.textnorm import parse_query, tokenize_document
+from websearchengine_spark.operators import ads as A
+from websearchengine_spark.sources import fixture
+
+
+@pytest.fixture(scope="module")
+def ads_setup(spark):
+    rows = fixture.synth_ads()
+    ads, postings, title_tf = A.ads_tables(spark, rows)
+    bids = spark.createDataFrame(
+        [
+            ("web", "acme", "1", 2.0),
+            ("web", "globex", "5", 1.5),
+            ("search", "acme", "1", 1.0),
+            ("search", "initech", "8", 3.0),
+            ("data", "hooli", "12", 2.5),
+        ],
+        "keyword string, company string, ad_id string, price double",
+    )
+    ctr = spark.createDataFrame(
+        [("web", "acme_1", 0.5), ("search", "initech_8", 0.2)],
+        "keyword string, ad_key string, ctr double",
+    )
+    return rows, ads.cache(), postings.cache(), title_tf.cache(), bids, ctr
+
+
+def _oracle_rank(rows, bids_rows, ctr_rows, query, k=3):
+    tokens = [t for t in parse_query(query.lower()) if " " not in t]
+    docs = {}
+    titles = {}
+    for ad_key, title, body in rows:
+        docs[ad_key] = tokenize_document(ad_key, title + " " + body)
+        titles[ad_key] = tokenize_document(ad_key, title)
+    total = sum(len(t) for t in docs.values())
+    ctf = Counter()
+    for toks in docs.values():
+        ctf.update(toks)
+
+    def ql(ad_key):
+        s = 1.0
+        toks = docs[ad_key]
+        tf = Counter(toks)
+        for t in tokens:
+            s *= 0.5 * tf[t] / len(toks) + 0.5 * ctf[t] / total
+        return s
+
+    def tcos(ad_key):
+        ttf = Counter(titles[ad_key])
+        qtf = Counter(tokens)
+        dot = sum(qtf[t] * ttf[t] for t in qtf)
+        if dot == 0:
+            return 0.0
+        qm = sum(v * v for v in qtf.values())
+        tm = sum(v * v for v in ttf.values())
+        return dot / math.sqrt(qm) * math.sqrt(tm)
+
+    ctr = {(kw, ak): c for kw, ak, c in ctr_rows}
+    company_ctrs = {}
+    for (kw, ak), c in ctr.items():
+        comp = ak.rpartition("_")[0]
+        company_ctrs.setdefault(comp, []).append(c)
+
+    per_ad = {}
+    for kw, comp, ad_id, price in bids_rows:
+        if kw not in tokens:
+            continue
+        ak = f"{comp}_{ad_id}"
+        c = ctr.get(
+            (kw, ak),
+            sum(company_ctrs.get(comp, [])) / len(company_ctrs[comp])
+            if comp in company_ctrs
+            else 0.1,
+        )
+        qs = 0.3 * (ql(ak) + tcos(ak)) + 0.7 * c
+        per_ad.setdefault(ak, []).append((qs, price))
+    out = []
+    for ak, pairs in per_ad.items():
+        mean_qs = sum(q for q, _ in pairs) / len(pairs)
+        total_price = sum(p for _, p in pairs)
+        s = mean_qs * total_price
+        if s > 0:
+            out.append((ak, s))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]
+
+
+@pytest.mark.parametrize("query", ["web search", "data cloud", "salsa web"])
+def test_rank_ads_parity(spark, ads_setup, query):
+    rows, ads, postings, title_tf, bids, ctr = ads_setup
+    got = A.rank_ads(ads, postings, title_tf, bids, ctr, query).collect()
+    want = _oracle_rank(
+        rows,
+        [(r.keyword, r.company, r.ad_id, r.price) for r in bids.collect()],
+        [(r.keyword, r.ad_key, r.ctr) for r in ctr.collect()],
+        query,
+    )
+    assert [r.ad_key for r in got] == [a for a, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert r.score == pytest.approx(s, rel=1e-9)
+
+
+def test_ctr_update(spark):
+    ctr = spark.createDataFrame(
+        [("web", "a_1", 0.5), ("web", "b_2", 0.98), ("data", "c_3", 0.3)],
+        "keyword string, ad_key string, ctr double",
+    )
+    imps = spark.createDataFrame(
+        [("web", "a_1", True), ("web", "b_2", True), ("data", "c_3", False),
+         ("web", "new_9", True)],
+        "keyword string, ad_key string, clicked boolean",
+    )
+    got = {(r.keyword, r.ad_key): r.ctr for r in A.ctr_update(ctr, imps).collect()}
+    assert got[("web", "a_1")] == pytest.approx(0.55)
+    assert got[("web", "b_2")] == pytest.approx(1.0)  # clamped
+    assert got[("data", "c_3")] == pytest.approx(0.27)
+    assert got[("web", "new_9")] == pytest.approx(0.11)  # 0.1 prior +10%
+
+
+def test_no_matching_keyword_returns_empty(spark, ads_setup):
+    rows, ads, postings, title_tf, bids, ctr = ads_setup
+    assert A.rank_ads(ads, postings, title_tf, bids, ctr, "zzz qqq").count() == 0

@@ -1,0 +1,185 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence for the north_rule (N vs 4N executors).
+
+The sandbox has no multi-node cluster, so per the driver instructions the
+two-cluster-size criterion is evidenced by running the IDENTICAL job at
+two local parallelism levels on the same input and reporting throughput at
+both plus ``efficiency = throughput_4N / (4 * throughput_N)``.
+
+Methodology notes (also in BASELINE.md):
+- the measured job is the full index build (tokenize -> map-side posting
+  generation -> repartition(term, chunk) -> streaming segment encode with
+  block-max metadata) over the sf0.1 documents table replicated ``--repl``
+  times so steady-state per-task work dominates;
+- a warmup run of the same pipeline precedes the clock at each level so
+  Python-worker spawn and JIT are excluded (a real cluster amortizes those
+  over hours);
+- this host's 32 logical CPUs are SMT pairs and the machine is shared, so
+  a pure-CPU multiprocessing microbenchmark measures the HARDWARE ceiling
+  for each scale-up and trials are interleaved with best-per-level taken;
+  the primary N->4N pair is 2->8 cores (stays on physical cores), with
+  8->32 reported secondarily against its SMT-bound ceiling.
+
+Usage:
+  python tools/bench_scaling.py                 # orchestrate all levels
+  python tools/bench_scaling.py --cpus 8        # one measurement (JSON)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import multiprocessing
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+LEVELS = (2, 8, 32)
+N_TRIALS = 3
+PRIMARY_PAIR = (2, 8)   # stays on physical cores — the clean N->4N proxy
+SECONDARY_PAIR = (8, 32)  # crosses the SMT knee; hw ceiling reported
+# the sf0.1 synthetic corpus has a ~31-term vocabulary, so every term is a
+# heavy hitter; chunk_docs=4096 keeps (term, chunk) groups fine-grained
+# enough that the encode stage load-balances (the exact skew bound the
+# chunking exists for)
+CHUNK_DOCS = 4096
+
+
+def _burn(_):
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < 1.5:
+        x += 1
+    return x
+
+
+def cpu_microbench(n: int) -> float:
+    with multiprocessing.Pool(n) as p:
+        return float(sum(p.map(_burn, range(n))))
+
+
+def measure(cpus: int, repl: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from websearchengine_spark.operators import indexer
+    from websearchengine_spark.session import get_spark
+
+    spark = get_spark(f"local[{cpus}]", shuffle_partitions=max(cpus * 2, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0), F.lit(repl - 1))).alias("rep"),
+        )
+        .select(
+            F.concat(
+                F.lit("doc://"),
+                F.col("doc_id").cast("string"),
+                F.lit("/"),
+                F.col("rep").cast("string"),
+            ).alias("url"),
+            "text",
+            (F.col("doc_id") * repl + F.col("rep")).alias("doc_id"),
+        )
+        .repartition(cpus * 4)
+        .cache()
+    )
+    n_docs = corpus.count()  # materialize input before the clock
+
+    # warmup: same pipeline on a slice — spawns/reuses the Python workers
+    warm = corpus.limit(4000).repartition(cpus)
+    indexer.build_segments(
+        indexer.build_postings(warm, positions_as="bytes"),
+        avgdl=150.0,
+        chunk_docs=CHUNK_DOCS,
+    ).count()
+
+    t0 = time.time()
+    postings = indexer.build_postings(corpus, positions_as="bytes")
+    segs = indexer.build_segments(postings, avgdl=150.0, chunk_docs=CHUNK_DOCS)
+    n_segments = segs.count()
+    sec = time.time() - t0
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "n_docs": n_docs,
+        "n_segments": n_segments,
+        "build_sec": round(sec, 3),
+        "docs_per_sec": round(n_docs / sec, 2),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--repl", type=int, default=128)
+    args = ap.parse_args()
+
+    if args.cpus is not None:
+        print(json.dumps(measure(args.cpus, args.repl)))
+        return
+
+    # The sandbox host is shared: per-run throughput varies up to ~2.5x
+    # with neighbor load.  Trials are interleaved across levels and each
+    # level reports its BEST trial (the least-interfered measurement) —
+    # the quantity a dedicated cluster would see.
+    trials: dict[int, list[dict]] = {n: [] for n in LEVELS}
+    for _ in range(N_TRIALS):
+        for cpus in LEVELS:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--cpus",
+                 str(cpus), "--repl", str(args.repl)],
+                capture_output=True,
+                text=True,
+                check=True,
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            trials[cpus].append(json.loads(line))
+
+    best = {
+        n: max(ts, key=lambda r: r["docs_per_sec"]) for n, ts in trials.items()
+    }
+    hw = {n: cpu_microbench(n) for n in LEVELS}
+
+    def pair(a, b):
+        ratio = b / a
+        eff = round(
+            best[b]["docs_per_sec"] / (ratio * best[a]["docs_per_sec"]), 4
+        )
+        ceiling = round(hw[b] / (ratio * hw[a]), 4)
+        return {
+            "pair": f"{a}->{b}",
+            "efficiency": eff,
+            "hw_ceiling": ceiling,
+            "efficiency_vs_hw_ceiling": round(eff / ceiling, 4)
+            if ceiling > 0
+            else None,
+        }
+
+    primary = pair(*PRIMARY_PAIR)
+    summary = {
+        "metric": "index_build_scaling_efficiency",
+        "value": primary["efficiency"],
+        "unit": "best throughput_4N / (4 * best throughput_N), N=2 cores",
+        "sf_dir": SF_DIR,
+        "repl": args.repl,
+        "chunk_docs": CHUNK_DOCS,
+        "primary": primary,
+        "secondary": pair(*SECONDARY_PAIR),
+        "best": best,
+        "all_trials": {
+            str(n): [r["docs_per_sec"] for r in ts] for n, ts in trials.items()
+        },
+    }
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

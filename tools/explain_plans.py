@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Print `.explain("formatted")` for the engine's key physical plans, to
+verify the properties the scale design depends on:
+
+- term filters reach the parquet scan (PushedFilters) and prune term-hash
+  bucket partitions on a stored segment table;
+- column pruning (ReadSchema) keeps metadata-only passes off the posting
+  byte columns;
+- scoring joins broadcast the tiny side (BroadcastHashJoin, no shuffle of
+  the postings relation beyond the one groupBy);
+- top-k plans are TakeOrderedAndProject, not global sorts.
+
+Usage: python tools/explain_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from websearchengine_spark.operators import indexer, score, wand
+    from websearchengine_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("local[4]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        "text",
+        "doc_id",
+    )
+    postings = indexer.build_postings(docs)
+    avgdl = 150.0
+
+    with tempfile.TemporaryDirectory() as td:
+        seg_path = os.path.join(td, "segments")
+        indexer.with_term_bucket(
+            indexer.build_segments(postings, avgdl=avgdl)
+        ).write.partitionBy("bucket").parquet(seg_path)
+        segs = spark.read.parquet(seg_path)
+
+        print("=" * 72)
+        print("1. Stored-segment scan pruned by term + bucket")
+        print("   (expect PushedFilters on term, PartitionFilters on bucket,")
+        print("   ReadSchema WITHOUT the posting byte columns)")
+        print("=" * 72)
+        b = indexer.term_bucket_of("data", spark)
+        meta_scan = segs.where(
+            (F.col("bucket") == b) & (F.col("term") == "data")
+        ).select("term", "chunk", "block_max_weight", "n_docs")
+        meta_scan.explain("formatted")
+
+        print("=" * 72)
+        print("2. BM25 postings-path top-k (expect BroadcastHashJoin for the")
+        print("   stats sides and TakeOrderedAndProject, no global Sort)")
+        print("=" * 72)
+        score.rank_bm25(
+            postings, "data table", num_docs=500, avgdl=avgdl, k=10
+        ).explain("formatted")
+
+        print("=" * 72)
+        print("3. WAND segment-path top-k (metadata pass + pruned decode)")
+        print("=" * 72)
+        wand.bm25_topk_segments(
+            segs, ["data", "table"], num_docs=500, avgdl=avgdl, k=10
+        ).explain("formatted")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,168 @@
+"""spark-submit entry point: build / resume / merge / query / mine.
+
+The reference's three modes (mining -> index -> serve,
+SearchEngine.java:138-144) map to subcommands; serving is a batch
+``query`` call (no HTTP — SURVEY.md §2.1 S10 scopes the endpoint out).
+
+Usage (also works under plain ``python -m websearchengine_spark.cli``):
+
+  build  --corpus <parquet dir> --out <index dir> [--docs-per-part N]
+  query  --index <index dir> --q "web search" [--k 10] [--mode conjunctive]
+  merge  --base <dir> --delta <dir> --out <dir> --avgdl X
+  mine   --corpus <parquet dir> --out <dir>          # PageRank + edges
+
+The corpus parquet must carry the input_hint schema
+(url, warc_ts, html, text, lang) or at least (url, text).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _spark(cpus: str | None = None):
+    from websearchengine_spark.session import get_spark
+
+    return get_spark(f"local[{cpus}]" if cpus else None)
+
+
+def cmd_build(args) -> None:
+    from pyspark.sql import functions as F
+
+    from websearchengine_spark.operators import checkpoint, indexer
+
+    spark = _spark(args.cpus)
+    corpus = spark.read.parquet(args.corpus)
+    if "lang" in corpus.columns:
+        corpus = corpus.where(F.col("lang") == "en")
+    ids = indexer.assign_doc_ids(corpus.select("url", "text"))
+    # collection stats for block-max weights; persisted beside the index
+    postings = indexer.build_postings(ids)
+    stats = indexer.collection_stats(indexer.docs_table(ids, postings)).head()
+    avgdl = float(stats.avgdl or 1.0)
+    cp = checkpoint.IndexCheckpointer(
+        args.out, docs_per_part=args.docs_per_part
+    )
+    written = cp.build(ids, avgdl=avgdl)
+    meta = {
+        "num_docs": int(stats.num_docs),
+        "total_terms": int(stats.total_terms),
+        "avgdl": avgdl,
+        "docs_per_part": args.docs_per_part,
+    }
+    with open(os.path.join(args.out, "stats.json"), "w") as f:
+        json.dump(meta, f)
+    print(
+        json.dumps(
+            {
+                "built_partitions": [w.part_id for w in written],
+                "committed_total": len(cp.committed_parts()),
+                **meta,
+            }
+        )
+    )
+
+
+def cmd_query(args) -> None:
+    from websearchengine_spark.operators import checkpoint, query as Q, wand
+
+    spark = _spark(args.cpus)
+    with open(os.path.join(args.index, "stats.json")) as f:
+        stats = json.load(f)
+    cp = checkpoint.IndexCheckpointer(
+        args.index, docs_per_part=stats["docs_per_part"]
+    )
+    segs = cp.segments(spark)
+    tokens, words, phrases = Q.split_tokens(args.q)
+    if phrases:
+        # phrase tokens need positions: decode the phrase words' segments
+        # and run the postings-path ranker
+        from websearchengine_spark.operators import indexer, score
+
+        postings = indexer.decode_segments(segs, with_positions=True)
+        out = score.rank_bm25(
+            postings,
+            args.q,
+            num_docs=stats["num_docs"],
+            avgdl=stats["avgdl"],
+            k=args.k,
+            mode=args.mode,
+        )
+    else:
+        out = wand.bm25_topk_segments(
+            segs,
+            words,
+            num_docs=stats["num_docs"],
+            avgdl=stats["avgdl"],
+            k=args.k,
+            mode=args.mode,
+        )
+    for r in out.collect():
+        print(f"{r.doc_id}\t{r.score:.6f}")
+
+
+def cmd_merge(args) -> None:
+    from websearchengine_spark.operators import merge
+
+    spark = _spark(args.cpus)
+    base = spark.read.parquet(os.path.join(args.base, "segments"))
+    delta = spark.read.parquet(os.path.join(args.delta, "segments"))
+    merged = merge.merge_segments(base, delta, avgdl=args.avgdl)
+    merged.write.mode("overwrite").parquet(os.path.join(args.out, "segments"))
+    print(json.dumps({"segments": merged.count(), "out": args.out}))
+
+
+def cmd_mine(args) -> None:
+    from websearchengine_spark.operators import indexer, mining
+
+    spark = _spark(args.cpus)
+    corpus = spark.read.parquet(args.corpus)
+    ids = indexer.assign_doc_ids(corpus.select("url", "html", "text"))
+    links = mining.extract_links(ids)
+    edges = mining.build_edges(ids, links)
+    pr = mining.pagerank(ids.select("doc_id"), edges)
+    pr.write.mode("overwrite").parquet(os.path.join(args.out, "page_rank"))
+    edges.write.mode("overwrite").parquet(os.path.join(args.out, "edges"))
+    print(json.dumps({"docs": ids.count(), "edges": edges.count()}))
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(prog="websearchengine_spark")
+    ap.add_argument("--cpus", default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--corpus", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--docs-per-part", type=int, default=1 << 16)
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query")
+    q.add_argument("--index", required=True)
+    q.add_argument("--q", required=True)
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--mode", default="conjunctive",
+                   choices=["conjunctive", "disjunctive"])
+    q.set_defaults(fn=cmd_query)
+
+    m = sub.add_parser("merge")
+    m.add_argument("--base", required=True)
+    m.add_argument("--delta", required=True)
+    m.add_argument("--out", required=True)
+    m.add_argument("--avgdl", type=float, required=True)
+    m.set_defaults(fn=cmd_merge)
+
+    g = sub.add_parser("mine")
+    g.add_argument("--corpus", required=True)
+    g.add_argument("--out", required=True)
+    g.set_defaults(fn=cmd_mine)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

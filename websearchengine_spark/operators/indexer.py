@@ -119,14 +119,35 @@ POSTING_SCHEMA = T.StructType(
     ]
 )
 
+POSTING_BYTES_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("tf", T.IntegerType(), False),
+        T.StructField("pos_bytes", T.BinaryType(), False),
+        T.StructField("dl", T.IntegerType(), False),
+    ]
+)
 
-def build_postings(corpus_with_ids: DataFrame) -> DataFrame:
-    """(url, text, doc_id) -> postings(term, doc_id, tf, positions, dl).
+
+def build_postings(
+    corpus_with_ids: DataFrame, positions_as: str = "array"
+) -> DataFrame:
+    """(url, text, doc_id) -> postings(term, doc_id, tf, positions|pos_bytes, dl).
 
     The per-(term,doc) aggregation happens inside the Arrow UDF (document
     locality), so this stage is shuffle-free; ``dl`` (kept-token doc length,
     IndexerInvertedCompressed.java:178) rides along so downstream scoring
-    never needs a doc-side join."""
+    never needs a doc-side join.
+
+    ``positions_as="bytes"`` applies the delta-gap + varint position codec
+    MAP-SIDE (A8), so the segment shuffle moves compact binary instead of
+    Arrow int lists — at scale the positions dominate shuffle bytes, and
+    per-doc varint streams concatenate into the segment payload without
+    re-encoding (varint framing is per-value, so
+    ``concat(encode(doc_i gaps))`` == ``encode(concat(doc gaps))``)."""
+    as_bytes = positions_as == "bytes"
+    import numpy as np
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -141,20 +162,28 @@ def build_postings(corpus_with_ids: DataFrame) -> DataFrame:
                     terms.append(t)
                     dids.append(did)
                     tfs.append(len(plist))
-                    poss.append(plist)
+                    poss.append(
+                        codec.encode_varints(
+                            codec.delta_encode(np.asarray(plist, dtype=np.int64))
+                        )
+                        if as_bytes
+                        else plist
+                    )
                     dls.append(dl)
             yield pd.DataFrame(
                 {
                     "term": terms,
                     "doc_id": dids,
                     "tf": pd.array(tfs, dtype="int32"),
-                    "positions": pd.Series(poss, dtype=object),
+                    ("pos_bytes" if as_bytes else "positions"): pd.Series(
+                        poss, dtype=object
+                    ),
                     "dl": pd.array(dls, dtype="int32"),
                 }
             )
 
     return corpus_with_ids.select("url", "text", "doc_id").mapInPandas(
-        _gen, POSTING_SCHEMA
+        _gen, POSTING_BYTES_SCHEMA if as_bytes else POSTING_SCHEMA
     )
 
 
@@ -241,6 +270,7 @@ def build_segments(
     chunk_docs: int = DEFAULT_CHUNK_DOCS,
     block_docs: int = codec.BLOCK_DOCS,
     with_positions: bool = True,
+    n_parts: int | None = None,
 ) -> DataFrame:
     """postings -> delta-gap+varint block segments with block-max metadata.
 
@@ -248,54 +278,166 @@ def build_segments(
     chunk_docs postings regardless of term frequency (heavy-hitter safe);
     blocks of ``block_docs`` postings carry ``block_max_weight`` =
     max over block of the BM25 tf-part, enabling block-max WAND pruning
-    (score upper bound = idf * (k1+1) * block_max_weight)."""
+    (score upper bound = idf * (k1+1) * block_max_weight).
+
+    Physical shape: ``repartition(term, chunk)`` + sort-within-partitions
+    + ONE streaming mapInPandas that walks group boundaries with numpy and
+    emits one Arrow batch per input batch.  An applyInPandas-per-group
+    formulation is ~10x slower here: inverted-index groups are tiny (a few
+    postings) and per-group pandas materialization dominates; this shape
+    keeps per-group cost at numpy-slice level.  Groups straddling Arrow
+    batch boundaries are carried over inside the partition iterator."""
     import numpy as np
 
     k1, b = BM25_K1, BM25_B
+    spark = postings.sparkSession
+    if n_parts is None:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # positions either as int arrays (encode here) or as per-doc varint
+    # streams already encoded map-side (concatenate — framing is per value)
+    bytes_mode = "pos_bytes" in postings.columns
+    pos_col = "pos_bytes" if bytes_mode else "positions"
 
-    def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
-        term = pdf["term"].iloc[0]
-        chunk = int(pdf["doc_id"].iloc[0]) // chunk_docs
-        rows = []
-        for seq, lo in enumerate(range(0, len(pdf), block_docs)):
-            blk = pdf.iloc[lo : lo + block_docs]
-            doc_ids = blk["doc_id"].to_numpy(dtype=np.int64)
-            tfs = blk["tf"].to_numpy(dtype=np.int64)
-            dls = blk["dl"].to_numpy(dtype=np.int64)
+    def _encode_group(
+        term: str,
+        doc_ids: "np.ndarray",
+        tfs: "np.ndarray",
+        dls: "np.ndarray",
+        positions: list | None,
+        out: dict,
+    ) -> None:
+        chunk = int(doc_ids[0]) // chunk_docs
+        for seq, lo in enumerate(range(0, len(doc_ids), block_docs)):
+            hi = lo + block_docs
+            d, t, l = doc_ids[lo:hi], tfs[lo:hi], dls[lo:hi]
             enc = codec.encode_block(
-                doc_ids,
-                tfs,
-                [np.asarray(p, dtype=np.int64) for p in blk["positions"]]
-                if with_positions
-                else None,
+                d,
+                t,
+                None
+                if (positions is None or bytes_mode)
+                else [np.asarray(p, dtype=np.int64) for p in positions[lo:hi]],
             )
-            weight = (
-                tfs / (tfs + k1 * (1.0 - b + b * dls / avgdl))
-            ).max() if len(tfs) else 0.0
-            rows.append(
-                {
-                    "term": term,
-                    "chunk": chunk,
-                    "block_seq": seq,
-                    "n_docs": enc["n_docs"],
-                    "first_doc_id": enc["first_doc_id"],
-                    "last_doc_id": enc["last_doc_id"],
-                    "doc_gap_bytes": enc["doc_gap_bytes"],
-                    "tf_bytes": enc["tf_bytes"],
-                    "dl_bytes": codec.encode_varints(dls),
-                    "pos_bytes": enc["pos_bytes"],
-                    "block_max_tf": enc["block_max_tf"],
-                    "block_max_weight": float(weight),
-                    "sum_tf": enc["sum_tf"],
-                }
+            if bytes_mode and positions is not None:
+                enc["pos_bytes"] = b"".join(
+                    bytes(x) for x in positions[lo:hi]
+                )
+            weight = float(
+                (t / (t + k1 * (1.0 - b + b * l / avgdl))).max()
             )
-        return pd.DataFrame(rows)
+            out["term"].append(term)
+            out["chunk"].append(chunk)
+            out["block_seq"].append(seq)
+            out["n_docs"].append(enc["n_docs"])
+            out["first_doc_id"].append(enc["first_doc_id"])
+            out["last_doc_id"].append(enc["last_doc_id"])
+            out["doc_gap_bytes"].append(enc["doc_gap_bytes"])
+            out["tf_bytes"].append(enc["tf_bytes"])
+            out["dl_bytes"].append(codec.encode_varints(l))
+            out["pos_bytes"].append(enc["pos_bytes"])
+            out["block_max_tf"].append(enc["block_max_tf"])
+            out["block_max_weight"].append(weight)
+            out["sum_tf"].append(enc["sum_tf"])
+
+    def _fresh_out() -> dict:
+        return {f.name: [] for f in SEGMENT_SCHEMA.fields}
+
+    def _to_pdf(out: dict) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "term": out["term"],
+                "chunk": pd.array(out["chunk"], dtype="int64"),
+                "block_seq": pd.array(out["block_seq"], dtype="int32"),
+                "n_docs": pd.array(out["n_docs"], dtype="int32"),
+                "first_doc_id": pd.array(out["first_doc_id"], dtype="int64"),
+                "last_doc_id": pd.array(out["last_doc_id"], dtype="int64"),
+                "doc_gap_bytes": pd.Series(out["doc_gap_bytes"], dtype=object),
+                "tf_bytes": pd.Series(out["tf_bytes"], dtype=object),
+                "dl_bytes": pd.Series(out["dl_bytes"], dtype=object),
+                "pos_bytes": pd.Series(out["pos_bytes"], dtype=object),
+                "block_max_tf": pd.array(out["block_max_tf"], dtype="int32"),
+                "block_max_weight": pd.array(
+                    out["block_max_weight"], dtype="float64"
+                ),
+                "sum_tf": pd.array(out["sum_tf"], dtype="int64"),
+            }
+        )
+
+    def _gen(batches) -> "pd.DataFrame":
+        pend: pd.DataFrame | None = None
+        for bdf in batches:
+            if pend is not None and len(pend):
+                bdf = pd.concat([pend, bdf], ignore_index=True)
+                pend = None
+            if not len(bdf):
+                continue
+            terms = bdf["term"].to_numpy()
+            chunks = bdf["chunk"].to_numpy()
+            change = (
+                np.flatnonzero(
+                    (terms[1:] != terms[:-1]) | (chunks[1:] != chunks[:-1])
+                )
+                + 1
+            )
+            starts = np.concatenate(([0], change))
+            if len(starts) == 1:
+                pend = bdf  # single (possibly incomplete) group
+                continue
+            # hold the last group back: it may continue in the next batch
+            last = int(starts[-1])
+            pend = bdf.iloc[last:]
+            doc_ids = bdf["doc_id"].to_numpy(dtype=np.int64)
+            tfs = bdf["tf"].to_numpy(dtype=np.int64)
+            dls = bdf["dl"].to_numpy(dtype=np.int64)
+            poss = bdf[pos_col].to_list() if with_positions else None
+            out = _fresh_out()
+            for lo, hi in zip(starts[:-1], starts[1:]):
+                _encode_group(
+                    terms[lo],
+                    doc_ids[lo:hi],
+                    tfs[lo:hi],
+                    dls[lo:hi],
+                    poss[lo:hi] if poss is not None else None,
+                    out,
+                )
+            yield _to_pdf(out)
+        if pend is not None and len(pend):
+            out = _fresh_out()
+            terms = pend["term"].to_numpy()
+            chunks = pend["chunk"].to_numpy()
+            change = (
+                np.flatnonzero(
+                    (terms[1:] != terms[:-1]) | (chunks[1:] != chunks[:-1])
+                )
+                + 1
+            )
+            starts = np.concatenate(([0], change, [len(pend)]))
+            doc_ids = pend["doc_id"].to_numpy(dtype=np.int64)
+            tfs = pend["tf"].to_numpy(dtype=np.int64)
+            dls = pend["dl"].to_numpy(dtype=np.int64)
+            poss = pend[pos_col].to_list() if with_positions else None
+            for lo, hi in zip(starts[:-1], starts[1:]):
+                _encode_group(
+                    terms[lo],
+                    doc_ids[lo:hi],
+                    tfs[lo:hi],
+                    dls[lo:hi],
+                    poss[lo:hi] if poss is not None else None,
+                    out,
+                )
+            yield _to_pdf(out)
 
     keyed = postings.withColumn(
         "chunk", (F.col("doc_id") / F.lit(chunk_docs)).cast("long")
     )
-    return keyed.groupBy("term", "chunk").applyInPandas(_encode, SEGMENT_SCHEMA)
+    cols = ["term", "chunk", "doc_id", "tf", "dl"] + (
+        [pos_col] if with_positions else []
+    )
+    parted = (
+        keyed.select(*cols)
+        .repartition(n_parts, "term", "chunk")
+        .sortWithinPartitions("term", "chunk", "doc_id")
+    )
+    return parted.mapInPandas(_gen, SEGMENT_SCHEMA)
 
 
 def decode_segments(segments: DataFrame, with_positions: bool = False) -> DataFrame:

@@ -110,6 +110,27 @@ def pagerank(
     return ranks.select("doc_id", F.round("pr", 9).alias("page_rank"))
 
 
+def parse_view_log(lines: DataFrame) -> DataFrame:
+    """S5 — raw log lines (value string, line_no long) -> (lang, article,
+    views, line_no): keep exactly-3-field lines with numeric views,
+    URL-decode article (LogMinerNumviews.java:68-104)."""
+    parts = F.split(F.col("value"), " ")
+    return (
+        lines.select("line_no", parts.alias("p"))
+        .where(
+            (F.size("p") == 3)
+            & F.element_at("p", 3).rlike("^[0-9]+$")
+        )
+        .select(
+            F.element_at("p", 1).alias("lang"),
+            F.try_url_decode(F.element_at("p", 2)).alias("article"),
+            F.element_at("p", 3).cast("long").alias("views"),
+            "line_no",
+        )
+        .where(F.col("article").isNotNull())
+    )
+
+
 def numviews_from_log(view_log: DataFrame, docs: DataFrame) -> DataFrame:
     """G3 — view_log(lang, article, views, line_no) -> per-title last
     matching line's count (overwrite semantics, LogMinerNumviews.java:107);

@@ -153,6 +153,168 @@ def rank_ql(
     return topk(ql_scores(tp, tokens, total_terms), k)
 
 
+def cosine_scores(
+    postings: DataFrame,
+    query: str,
+    num_docs: int,
+) -> DataFrame:
+    """(doc_id, score) — R2 cosine/VSM (hw1 Ranker.java:57-114): doc
+    tf-idf vector over ALL doc terms (idf = 1 + log2(N/df)), query vector
+    raw token counts (phrase tokens excluded from the dot product — the
+    reference's word-level loop), cosine = dot/(|d|·|q|).
+
+    The Σ tfidf² doc norm is a corpus-wide aggregate, precomputable as a
+    docs column in a real deployment; here derived in the same plan."""
+    tokens, words, _ = Q.split_tokens(query)
+    qtf = Counter(t for t in tokens if " " not in t)
+    qnorm = float(sum(v * v for v in qtf.values())) ** 0.5
+    spark = postings.sparkSession
+    ts = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.lit(1.0) + F.log2(F.lit(float(num_docs)) / F.col("df"))
+    weighted = postings.join(ts, "term").select(
+        "term", "doc_id", (F.col("tf") * idf).alias("w")
+    )
+    norm = weighted.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("dnorm")
+    )
+    qdf = spark.createDataFrame(
+        [(t, float(c)) for t, c in qtf.items()], "term string, qv double"
+    )
+    dot = (
+        weighted.join(F.broadcast(qdf), "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("w") * F.col("qv")).alias("dot"))
+        .where(F.col("dot") > 0)
+    )
+    return dot.join(norm, "doc_id").select(
+        "doc_id",
+        (F.col("dot") / (F.col("dnorm") * F.lit(qnorm))).alias("score"),
+    )
+
+
+def phrase_count_scores(postings: DataFrame, query: str) -> DataFrame:
+    """(doc_id, score) — R3 phrase ranker: number of adjacent runs of the
+    FULL query token sequence per doc (hw1 Ranker.java:133-181 counts
+    sequence matches; we implement the positional-adjacency semantics,
+    Q4/Q5)."""
+    tokens, _, _ = Q.split_tokens(query)
+    flat: list[str] = []
+    for t in tokens:
+        flat.extend(t.split())
+    if len(flat) == 1:
+        return postings.where(F.col("term") == flat[0]).select(
+            "doc_id", F.col("tf").cast("double").alias("score")
+        )
+    phrase = " ".join(flat)
+    tp = Q.phrase_token_postings(postings, phrase)
+    return tp.select("doc_id", F.col("tf").cast("double").alias("score"))
+
+
+def numviews_scores(docs: DataFrame) -> DataFrame:
+    """R4 — score = numViews (hw1 Ranker.java:183-185)."""
+    return docs.select(
+        "doc_id", F.col("num_views").cast("double").alias("score")
+    )
+
+
+LINEAR_BETAS = (0.6, 0.39, 0.0099, 0.0001)  # hw1 Ranker.java:189-192
+
+
+def rank_linear(
+    postings: DataFrame,
+    docs: DataFrame,
+    query: str,
+    num_docs: int,
+    total_terms: int,
+    k: int = 10,
+) -> DataFrame:
+    """R5 — 0.6·cosine + 0.39·QL + 0.0099·phrase + 0.0001·numviews over
+    disjunctive word matches (hw1 scores every doc; docs with no match
+    score ~0 and sort by views — we keep docs with any component > 0)."""
+    b1, b2, b3, b4 = LINEAR_BETAS
+    tokens, _, _ = Q.split_tokens(query)
+    tp = Q.token_postings(postings, query)
+    cos = cosine_scores(postings, query, num_docs).withColumnRenamed(
+        "score", "s_cos"
+    )
+    # hw1 QL scores every doc; docs matching no token get the collection
+    # prior product, not 0
+    ql, ql_prior = ql_scores_disjunctive(tp, tokens, total_terms)
+    ql = ql.withColumnRenamed("score", "s_ql")
+    ph = phrase_count_scores(postings, query).withColumnRenamed(
+        "score", "s_ph"
+    )
+    nv = numviews_scores(docs).withColumnRenamed("score", "s_nv")
+    out = (
+        nv.join(cos, "doc_id", "left")
+        .join(ql, "doc_id", "left")
+        .join(ph, "doc_id", "left")
+        .fillna({"s_cos": 0.0, "s_ql": ql_prior, "s_ph": 0.0})
+        .select(
+            "doc_id",
+            (
+                F.lit(b1) * F.col("s_cos")
+                + F.lit(b2) * F.col("s_ql")
+                + F.lit(b3) * F.col("s_ph")
+                + F.lit(b4) * F.col("s_nv")
+            ).alias("score"),
+        )
+    )
+    return topk(out, k)
+
+
+def ql_scores_disjunctive(
+    tok_postings: DataFrame,
+    tokens: list[str],
+    total_terms: int,
+) -> tuple[DataFrame, float]:
+    """QL over docs matching ANY token; returns (scores_df, prior_product)
+    where prior_product is the score of a doc matching NO token — for a
+    missing token the factor is the collection prior β·ctf(t)/|C| (the
+    tf=0 case of RankerComprehensive.java:49's formula).  Computed as
+    prior_product · Π_present (factor/prior).  A query token absent from
+    the whole corpus makes every factor chain contain 0 → all scores 0
+    (faithful to the reference product)."""
+    spark = tok_postings.sparkSession
+    stats = Q.token_stats(tok_postings)
+    qc = _qcount_df(spark, tokens)
+    c = float(int(total_terms))
+    stat_rows = {r.token: r.ctf for r in stats.collect()}
+    if any(t not in stat_rows for t in set(tokens)):
+        empty = spark.createDataFrame([], "doc_id long, score double")
+        return empty, 0.0
+    import math
+
+    log_prior_total = sum(
+        math.log(QL_BETA * stat_rows[t] / c) for t in tokens
+    )
+    prior = F.lit(QL_BETA) * F.col("ctf") / F.lit(c)
+    factor = F.lit(1.0 - QL_BETA) * F.col("tf") / F.col("dl") + prior
+    scores = (
+        tok_postings.join(F.broadcast(stats), "token")
+        .join(F.broadcast(qc), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.exp(
+                F.sum(F.col("qcount") * (F.log(factor) - F.log(prior)))
+                + F.lit(float(log_prior_total))
+            ).alias("score")
+        )
+        .select("doc_id", "score")
+    )
+    return scores, float(math.exp(log_prior_total))
+
+
+def rank_cosine(
+    postings: DataFrame, query: str, num_docs: int, k: int = 10
+) -> DataFrame:
+    return topk(cosine_scores(postings, query, num_docs), k)
+
+
+def rank_numviews(docs: DataFrame, k: int = 10) -> DataFrame:
+    return topk(numviews_scores(docs), k)
+
+
 def rank_comprehensive(
     postings: DataFrame,
     docs: DataFrame,

@@ -414,6 +414,136 @@ FROM y GROUP BY 1, 2"""
 
 
 # --------------------------------------------------------------------------
+# evaluation metrics (E1-E8) over the BM25 run with synthetic qrels
+# --------------------------------------------------------------------------
+
+
+def q_eval_metrics(spark, sf_dir):
+    """P/R/F1@{1,5,10}, MAP, NDCG@{1,5,10}, MRR, accuracy for the gate
+    BM25 top-10 against deterministic synthetic qrels (grade from
+    doc_id mod 5) — exercises operators/evaluate.py end to end."""
+    from pyspark.sql import Window
+
+    from websearchengine_spark.operators import evaluate
+
+    top = R.q_bm25_topk(spark, sf_dir)
+    results = top.select(
+        F.lit("q1").alias("qid"),
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("rank"),
+    )
+    grade = (
+        F.when(F.col("doc_id") % 5 == 0, "Perfect")
+        .when(F.col("doc_id") % 5 == 1, "Excellent")
+        .when(F.col("doc_id") % 5 == 2, "Good")
+        .when(F.col("doc_id") % 5 == 3, "Fair")
+        .otherwise("Bad")
+    )
+    qrels = _docs(spark, sf_dir).select(
+        F.lit("q1").alias("qid"), "doc_id", grade.alias("grade")
+    )
+    return evaluate.metrics_per_query(results, qrels)
+
+
+_eval_ks = (1, 5, 10)
+_p_cols = ",\n       ".join(
+    f"round(sum(CASE WHEN rank <= {k} THEN rel END) / {k}, 6) AS p{k}"
+    for k in _eval_ks
+)
+_dcg_cols = ",\n       ".join(
+    f"sum(CASE WHEN rank <= {k} THEN gain / greatest(1.0, log2(rank)) END) AS dcg_{k}"
+    for k in _eval_ks
+)
+_idcg_cols = ",\n       ".join(
+    f"sum(CASE WHEN ideal_rank <= {k} THEN gain / greatest(1.0, log2(ideal_rank)) END) AS idcg_{k}"
+    for k in _eval_ks
+)
+_relret_cols = ",\n       ".join(
+    f"sum(CASE WHEN rank <= {k} THEN rel END) AS relret_{k}" for k in _eval_ks
+)
+_pr_out = []
+for k in _eval_ks:
+    _pr_out.append(f"round(b.p{k}, 6) AS p{k}")
+    _pr_out.append(
+        f"round(CASE WHEN b.rel_ret > 0 THEN b.relret_{k} / b.rel_ret ELSE 0 END, 6) AS r{k}"
+    )
+    _pr_out.append(
+        f"round(CASE WHEN round(b.p{k}, 6) + round(CASE WHEN b.rel_ret > 0 THEN b.relret_{k} / b.rel_ret ELSE 0 END, 6) > 0 "
+        f"THEN 2 * round(b.p{k}, 6) * round(CASE WHEN b.rel_ret > 0 THEN b.relret_{k} / b.rel_ret ELSE 0 END, 6) "
+        f"/ (round(b.p{k}, 6) + round(CASE WHEN b.rel_ret > 0 THEN b.relret_{k} / b.rel_ret ELSE 0 END, 6)) ELSE 0 END, 6) AS f1_{k}"
+    )
+_ndcg_out = ",\n       ".join(
+    f"round(CASE WHEN i.idcg_{k} > 0 THEN b.dcg_{k} / i.idcg_{k} ELSE 0 END, 6) AS ndcg{k}"
+    for k in _eval_ks
+)
+_pr_out_sql = ",\n       ".join(_pr_out)
+
+SQL_EVAL_METRICS = f"""WITH {R._SQL_POSTINGS_CTE},
+doclen AS (SELECT doc_id, sum(tf)::BIGINT AS doc_len FROM postings GROUP BY doc_id),
+consts AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(tf) FROM postings)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+qp AS (SELECT * FROM postings WHERE term IN ({R._terms_sql})),
+tstats AS (SELECT term, count(*)::DOUBLE AS df FROM qp GROUP BY term),
+scored AS (
+  SELECT qp.doc_id,
+         round(sum(
+           ln(1.0 + (consts.n - tstats.df + 0.5) / (tstats.df + 0.5))
+           * qp.tf * {R.BM25_K1 + 1.0}
+           / (qp.tf + {R.BM25_K1} * (1.0 - {R.BM25_B} + {R.BM25_B} * doclen.doc_len / consts.avgdl))
+         ), 6) AS score,
+         count(DISTINCT qp.term) AS n_hit
+  FROM qp JOIN doclen USING (doc_id) JOIN tstats USING (term), consts
+  GROUP BY qp.doc_id
+),
+topd AS (
+  SELECT doc_id, score FROM scored WHERE n_hit = {len(R.QUERY_TERMS)}
+  ORDER BY score DESC, doc_id ASC LIMIT 10
+),
+results AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM topd
+),
+j AS (
+  SELECT r.rank, r.doc_id,
+         CASE WHEN d.doc_id % 5 IN (0, 1, 2) THEN 1.0 ELSE 0.0 END AS rel,
+         CASE d.doc_id % 5 WHEN 0 THEN 10.0 WHEN 1 THEN 7.0 WHEN 2 THEN 5.0
+              WHEN 3 THEN 1.0 ELSE 0.0 END AS gain
+  FROM results r JOIN documents d USING (doc_id)
+),
+jj AS (
+  SELECT *,
+         sum(rel) OVER (ORDER BY rank) / rank AS prec_at,
+         row_number() OVER (ORDER BY gain DESC, rank ASC) AS ideal_rank
+  FROM j
+),
+b AS (
+  SELECT sum(rel) AS rel_ret, count(*)::DOUBLE AS n_ret,
+       {_p_cols},
+       {_relret_cols},
+       {_dcg_cols},
+       sum(CASE WHEN rel > 0 THEN prec_at END) AS sum_prec_at_rel,
+       min(CASE WHEN rel > 0 THEN rank END) AS first_rel_rank
+  FROM jj
+),
+i AS (
+  SELECT {_idcg_cols} FROM jj
+)
+SELECT 'q1' AS qid,
+       {_pr_out_sql},
+       round(CASE WHEN b.rel_ret > 0 THEN b.sum_prec_at_rel / b.rel_ret ELSE 0 END, 6) AS map,
+       {_ndcg_out},
+       round(CASE WHEN b.first_rel_rank IS NOT NULL THEN 1.0 / b.first_rel_rank ELSE 0 END, 6) AS mrr,
+       round(b.rel_ret / b.n_ret, 6) AS accuracy
+FROM b, i"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -430,4 +560,5 @@ EXT_REGISTRY = {
     "spearman_rank": (q_spearman_rank, SQL_SPEARMAN_RANK),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
+    "eval_metrics": (q_eval_metrics, SQL_EVAL_METRICS),
 }
