@@ -92,21 +92,29 @@ def main() -> None:
     from pyspark.sql import functions as F
     from websearchengine_spark.operators import indexer
 
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
-        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
-        "text",
-        F.col("doc_id"),
+    # small-file parquet arrives as ~1 partition: spread the tokenize
+    # stage over the cores (at real scale the source table is already
+    # many-splits wide)
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(
+            F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+            "text",
+            F.col("doc_id"),
+        )
+        .repartition(int(CPUS) * 2 if CPUS.isdigit() else 32)
     )
     n_docs = docs.count()
     t0 = time.time()
-    postings = indexer.build_postings(docs, positions_as="bytes")
+    postings = indexer.build_postings(docs, positions_as="bytes").persist()
     avgdl_row = postings.agg(
         (F.sum("tf") / F.count_distinct("doc_id")).alias("avgdl")
     ).head()
     avgdl = float(avgdl_row.avgdl or 1.0)
-    segs = indexer.build_segments(postings, avgdl=avgdl)
+    segs = indexer.build_segments(postings, avgdl=avgdl, chunk_docs=4096)
     n_segments = segs.count()
     build_sec = time.time() - t0
+    postings.unpersist()
     times["index_build"] = round(build_sec, 3)
     docs_per_sec = round(n_docs / build_sec, 2) if build_sec > 0 else None
 

@@ -19,6 +19,14 @@ def _h60(s: str) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
 
+M61 = (1 << 61) - 1
+
+
+def _minhash(s: str, seed: int) -> int:
+    h = int(hashlib.md5(s.encode()).hexdigest()[:14], 16)
+    return (h * (seed + 2) + (seed * 1000003 + 12289)) % M61
+
+
 def _shingles(text: str, k: int = 3) -> list[str]:
     t = _toks(text)
     return [" ".join(t[i : i + k]) for i in range(len(t) - k + 1)]
@@ -27,7 +35,7 @@ def _shingles(text: str, k: int = 3) -> list[str]:
 DOCS = [
     (0, "the quick brown fox jumps over the lazy dog near the river bank"),
     (1, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
-    (2, "the quick brown fox jumps over the lazy dog near the river delta"),  # near dup
+    (2, "the quick brown fox jumps over the lazy dog near the river bank today"),  # near dup (superset)
     (3, "completely different content about spark query engines and joins"),
     (4, "spark query engines process joins with hash partitioning at scale"),
     (5, "tiny doc"),  # < 3 tokens -> no shingles
@@ -52,7 +60,7 @@ def test_minhash_matches_python_oracle(spark, docs_df):
             assert not any(k[0] == doc_id for k in got)
             continue
         for seed in range(dedup.N_MINHASH):
-            want = min(_h60(f"{seed}:{s}") for s in sh)
+            want = min(_minhash(s, seed) for s in sh)
             assert got[(doc_id, seed)] == want, (doc_id, seed)
 
 

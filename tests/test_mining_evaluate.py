@@ -150,3 +150,42 @@ def test_eval_metrics_no_relevant(spark):
     )
     m = evaluate.metrics_per_query(results, qrels).head()
     assert m.p1 == 0.0 and m.map == 0.0 and m.mrr == 0.0 and m.ndcg10 == 0.0
+
+
+def test_interpolated_precision_11pt(spark):
+    from websearchengine_spark.operators import evaluate
+
+    # rel pattern by rank: 1,0,1,0,0 -> rel_ret=2
+    results = spark.createDataFrame(
+        [("q", 10, 1), ("q", 11, 2), ("q", 12, 3), ("q", 13, 4), ("q", 14, 5)],
+        "qid string, doc_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [("q", 10, "Perfect"), ("q", 12, "Good")],
+        "qid string, doc_id long, grade string",
+    )
+    got = {
+        r.recall_level: r.interp_prec
+        for r in evaluate.interpolated_precision_11pt(results, qrels).collect()
+    }
+    # recall_at: r1=0.5, r2=0.5, r3=1.0...; prec_at: 1, .5, 2/3, .5, .4
+    # levels <= 0.5 -> max prec among ranks with recall >= level = 1.0
+    # levels > 0.5 -> max prec among ranks 3..5 = 2/3
+    for lvl in [0.0, 0.1, 0.2, 0.3, 0.4, 0.5]:
+        assert got[lvl] == 1.0
+    for lvl in [0.6, 0.7, 0.8, 0.9, 1.0]:
+        assert got[lvl] == round(2 / 3, 6)
+
+
+def test_dynamic_stopwords(spark):
+    from websearchengine_spark.operators import query as Q
+
+    postings = spark.createDataFrame(
+        [("a", d, 1) for d in range(5)]
+        + [("b", d, 1) for d in range(3)]
+        + [("c", d, 1) for d in range(3)]
+        + [("d", 0, 1)],
+        "term string, doc_id long, tf int",
+    )
+    got = [(r.term, r.df) for r in Q.dynamic_stopwords(postings, k=2).collect()]
+    assert got == [("a", 5), ("b", 3)]  # tie b/c broken by term asc

@@ -30,6 +30,18 @@ N_BANDS = 4  # rows per band = N_MINHASH // N_BANDS
 SHINGLE_K = 3
 
 
+MERSENNE_61 = (1 << 61) - 1
+
+
+def _derive(seed: int):
+    """Universal-hash derivation from the 56-bit md5 base (single-arg
+    lambda — a 2-arg callable would make F.transform pass the array
+    index)."""
+    a = seed + 2
+    b = seed * 1000003 + 12289
+    return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_61)
+
+
 def md5_60(col) -> F.Column:
     """60-bit integer hash from the md5 hex prefix — cross-engine stable."""
     return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast(
@@ -43,6 +55,17 @@ def tokens_col(text_col="text") -> F.Column:
         F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")),
         " ",
     )
+
+
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Small test files arrive as 1-2 splits, which would serialize the
+    map-side hashing below onto one core; widen to the session's default
+    parallelism.  At real scale the source table is already many splits
+    wide and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
 
 
 def with_shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
@@ -81,21 +104,26 @@ def minhash_signatures(
     is the band groupBy."""
     sh = with_shingles(docs, k)
 
-    def _seeded(seed: int):
-        # single-arg lambda: a 2-arg callable would make F.transform pass
-        # the array index as the second argument
-        prefix = f"{seed}:"
-        return lambda x: F.conv(
-            F.substring(F.md5(F.concat(F.lit(prefix), x).cast("binary")), 1, 15),
-            16,
-            10,
-        ).cast("long")
-
-    sig_cols = []
-    for s in range(n_hashes):
-        hashed = F.transform(F.col("shingles"), _seeded(s))
-        sig_cols.append(F.array_min(hashed).alias(f"mh{s}"))
-    wide = sh.where(F.size("shingles") > 0).select("doc_id", *sig_cols)
+    # ONE md5 per shingle (56-bit int), then n_hashes universal-hash
+    # derivations h_s = ((s+2)·h + s·1000003 + 12289) mod (2^61−1).
+    # 8 md5+conv per shingle was the dominant cost of the whole dedup
+    # pipeline; the arithmetic family is ~free and equally cross-engine
+    # stable (56-bit base keeps (s+2)·h < 2^63, no overflow either side).
+    base = F.transform(
+        F.col("shingles"),
+        lambda x: F.conv(
+            F.substring(F.md5(x.cast("binary")), 1, 14), 16, 10
+        ).cast("long"),
+    )
+    sig_cols = [
+        F.array_min(F.transform(F.col("h"), _derive(s))).alias(f"mh{s}")
+        for s in range(n_hashes)
+    ]
+    wide = (
+        _ensure_parallelism(sh.where(F.size("shingles") > 0))
+        .select("doc_id", base.alias("h"))
+        .select("doc_id", *sig_cols)
+    )
     pairs = F.array(
         *[
             F.struct(F.lit(s).alias("seed"), F.col(f"mh{s}").alias("minhash"))
@@ -136,15 +164,29 @@ def minhash_candidate_pairs(
     """(doc_a, doc_b, n_shared_bands) with doc_a < doc_b — docs sharing at
     least one LSH band bucket.  Buckets larger than ``max_bucket`` are
     dropped (degenerate boilerplate clusters would otherwise explode
-    quadratically — the skew guard)."""
-    sized = bands.withColumn(
-        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_hash"))
-    ).where(F.col("bucket_n") <= max_bucket)
-    a = sized.select("band_id", "band_hash", F.col("doc_id").alias("doc_a"))
-    b = sized.select("band_id", "band_hash", F.col("doc_id").alias("doc_b"))
+    quadratically — the skew guard).
+
+    Shape: ONE groupBy collects each bucket's doc list, then pairs are
+    generated in-bucket with an array-combinations expression — no
+    self-join (a self-join would recompute the whole signature pipeline
+    on both sides) and the bucket bound caps per-row fan-out at
+    max_bucket²/2."""
+    buckets = (
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .where((F.size("ds") >= 2) & (F.size("ds") <= max_bucket))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) -> "
+                "transform(slice(ds, i + 2, size(ds) - i - 1), "
+                "y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    )
     return (
-        a.join(b, ["band_id", "band_hash"])
-        .where(F.col("doc_a") < F.col("doc_b"))
+        pairs.select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_bands"))
     )
@@ -196,7 +238,7 @@ def simhash(docs: DataFrame, n_bits: int = 16) -> DataFrame:
     engine path generalizes by changing the constant."""
     toks = tokens_col()
     tf = (
-        docs.select("doc_id", F.explode(toks).alias("term"))
+        _ensure_parallelism(docs).select("doc_id", F.explode(toks).alias("term"))
         .where(F.col("term") != "")
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))

@@ -52,6 +52,36 @@ def _joined(results: DataFrame, qrels: DataFrame) -> DataFrame:
     )
 
 
+def interpolated_precision_11pt(
+    results: DataFrame, qrels: DataFrame
+) -> DataFrame:
+    """E4 — (qid, recall_level, interp_prec): max precision at any rank
+    whose recall reaches the level, levels {0.0, 0.1, ..., 1.0}
+    (hw1 Evaluator.java:158-211).  Recall denominator = relevant
+    RETRIEVED (consistent with the reference's R@k convention)."""
+    j = _joined(results, qrels)
+    w = Window.partitionBy("qid").orderBy("rank")
+    per_rank = (
+        j.withColumn("cum_rel", F.sum("rel").over(w))
+        .withColumn("prec_at", F.col("cum_rel") / F.col("rank"))
+        .withColumn(
+            "recall_at",
+            F.col("cum_rel")
+            / F.sum("rel").over(Window.partitionBy("qid")),
+        )
+    )
+    spark = results.sparkSession
+    levels = spark.createDataFrame(
+        [(round(i / 10.0, 1),) for i in range(11)], "recall_level double"
+    )
+    return (
+        per_rank.crossJoin(F.broadcast(levels))
+        .where(F.col("recall_at") >= F.col("recall_level"))
+        .groupBy("qid", "recall_level")
+        .agg(F.round(F.max("prec_at"), 6).alias("interp_prec"))
+    )
+
+
 def metrics_per_query(results: DataFrame, qrels: DataFrame) -> DataFrame:
     """One row per qid with P@k, R@k, F1@k, MAP, NDCG@k, MRR, accuracy."""
     j = _joined(results, qrels)

@@ -105,6 +105,19 @@ def conjunctive_candidates(tok_postings: DataFrame, n_tokens: int) -> DataFrame:
     )
 
 
+def dynamic_stopwords(postings: DataFrame, k: int = 50) -> DataFrame:
+    """hw2's frequency-derived stopword list: the top-k terms by document
+    frequency (hw2/.../IndexerInvertedCompressed.java:478-496) — the
+    reference's precedent for frequency-aware heavy-hitter handling.
+    Returns (term, df) for the k highest-df terms (ties: term asc)."""
+    return (
+        postings.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(k)
+    )
+
+
 def token_stats(tok_postings: DataFrame) -> DataFrame:
     """Per-token df/ctf derived from the pruned relation itself (covers
     phrase tokens, whose stats don't exist in term_stats; Q8 semantics,

@@ -55,14 +55,22 @@ shingles AS (SELECT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL)"""
 )
 
 _seeds = ",".join(str(s) for s in range(N_MINHASH))
+_M61 = dedup.MERSENNE_61
+# one md5 per shingle (56-bit base), seeds derived arithmetically —
+# mirrors dedup._derive exactly
 _SQL_MINHASH_CTE = (
     _SQL_SHINGLE_CTE
     + f""",
+hs AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(shingle),1,14)) AS BIGINT) AS h
+  FROM shingles
+),
 seeds AS (SELECT unnest([{_seeds}]) AS seed),
 mh AS (
   SELECT doc_id, seed,
-         min({_H.format(x="seed::VARCHAR || ':' || shingle")}) AS minhash
-  FROM shingles, seeds GROUP BY doc_id, seed
+         min((h * (seed + 2) + (seed * 1000003 + 12289)) % {_M61}) AS minhash
+  FROM hs, seeds GROUP BY doc_id, seed
 )"""
 )
 
