@@ -72,26 +72,30 @@ def with_shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     """(doc_id, shingles array<string>) — k-token shingles via a map-side
     array transform (no shuffle)."""
     toks = tokens_col()
-    return (
-        docs.select("doc_id", toks.alias("toks"))
-        .select(
-            "doc_id",
-            F.when(
-                F.size("toks") >= k,
-                F.transform(
-                    F.sequence(F.lit(0), F.size("toks") - k),
-                    lambda i: F.concat_ws(
-                        " ",
-                        *[
-                            F.element_at(F.col("toks"), (i + j + 1).cast("int"))
-                            for j in range(k)
-                        ],
-                    ),
+    # explode(array(toks)) is a Generate barrier: without it,
+    # CollapseProject inlines the full-text regexp+split expression into
+    # EVERY element_at reference inside the transform (~3·|shingles|
+    # re-evaluations of the tokenizer per doc — measured 10x slowdown)
+    base = docs.select(
+        "doc_id", F.explode(F.array(toks)).alias("toks")
+    )
+    return base.select(
+        "doc_id",
+        F.when(
+            F.size("toks") >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - k),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[
+                        F.element_at(F.col("toks"), (i + j + 1).cast("int"))
+                        for j in range(k)
+                    ],
                 ),
-            )
-            .otherwise(F.array())
-            .alias("shingles"),
+            ),
         )
+        .otherwise(F.array())
+        .alias("shingles"),
     )
 
 
@@ -105,24 +109,33 @@ def minhash_signatures(
     sh = with_shingles(docs, k)
 
     # ONE md5 per shingle (56-bit int), then n_hashes universal-hash
-    # derivations h_s = ((s+2)·h + s·1000003 + 12289) mod (2^61−1).
-    # 8 md5+conv per shingle was the dominant cost of the whole dedup
-    # pipeline; the arithmetic family is ~free and equally cross-engine
-    # stable (56-bit base keeps (s+2)·h < 2^63, no overflow either side).
-    base = F.transform(
-        F.col("shingles"),
-        lambda x: F.conv(
-            F.substring(F.md5(x.cast("binary")), 1, 14), 16, 10
-        ).cast("long"),
+    # derivations h_s = ((s+2)·h + s·1000003 + 12289) mod (2^61−1) taken
+    # as MIN AGGREGATES over exploded shingle rows.  Two earlier shapes
+    # were each ~8x slower: hashing per (seed, shingle) costs 8 md5+conv
+    # per shingle, and computing a base-hash column consumed by 8
+    # array-transforms gets the md5 inlined into every consumer by
+    # CollapseProject — duplicating it 8x anyway.  With aggregates the
+    # projection evaluates md5 once per row and the partial aggregation
+    # keeps the doc_id shuffle at 8 longs per doc.
+    # no size filter needed: exploding an empty array emits no rows, and
+    # the filter would double-evaluate the shingle transform
+    hs = (
+        _ensure_parallelism(sh)
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+        .select(
+            "doc_id",
+            F.conv(
+                F.substring(F.md5(F.col("shingle").cast("binary")), 1, 14),
+                16,
+                10,
+            ).cast("long").alias("h"),
+        )
     )
-    sig_cols = [
-        F.array_min(F.transform(F.col("h"), _derive(s))).alias(f"mh{s}")
-        for s in range(n_hashes)
-    ]
-    wide = (
-        _ensure_parallelism(sh.where(F.size("shingles") > 0))
-        .select("doc_id", base.alias("h"))
-        .select("doc_id", *sig_cols)
+    wide = hs.groupBy("doc_id").agg(
+        *[
+            F.min(_derive(s)(F.col("h"))).alias(f"mh{s}")
+            for s in range(n_hashes)
+        ]
     )
     pairs = F.array(
         *[
