@@ -52,6 +52,127 @@ def _joined(results: DataFrame, qrels: DataFrame) -> DataFrame:
     )
 
 
+def metrics_reference_line(results: DataFrame, qrels: DataFrame) -> DataFrame:
+    """The reference Evaluator's exact 25-column row per query
+    (hw1/instructor Evaluator.java main flow :44-57), quirks preserved:
+
+    - NDCG@1 and NDCG@5 use graded gains, NDCG@10 uses BINARY relevance
+      (main passes ``relevance`` not ``relevance_gain`` for k=10, :54);
+    - IDCG sorts the RETRIEVED top-k gains, not the full qrels (:425-441);
+    - 11-pt interpolated precision's recall denominator is the count of
+      relevant docs in the QRELS (retrieved or not, :163-168);
+    - R@k divides by relevant-retrieved over the FULL result list;
+    - F@k from unrounded P/R; zero-guards exactly as the reference.
+
+    Verified value-identical to the reference's own golden hw1.3 outputs
+    (tests/test_reference_goldens.py)."""
+    j = _joined(results, qrels)
+    w = Window.partitionBy("qid").orderBy("rank")
+    j = j.withColumn("cum_rel", F.sum("rel").over(w)).withColumn(
+        "prec_at", F.col("cum_rel") / F.col("rank")
+    )
+    def _idcg_k(k: int, col: str, alias: str):
+        # the reference's IDCG sorts ONLY the first k RETRIEVED gains
+        # (DCG array = positions 0..k-1, then Arrays.sort, :425-441)
+        sub = j.where(F.col("rank") <= k).select(
+            "qid", F.col(col).alias("g"), "rank"
+        )
+        ranked = sub.withColumn(
+            "ir",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.desc("g"), F.asc("rank"))
+            ),
+        )
+        return ranked.groupBy("qid").agg(
+            F.sum(
+                F.col("g") / F.greatest(F.lit(1.0), F.log2(F.col("ir")))
+            ).alias(alias)
+        )
+    dcg = F.col("gain") / F.greatest(F.lit(1.0), F.log2(F.col("rank")))
+    dcg_bin = F.col("rel") / F.greatest(F.lit(1.0), F.log2(F.col("rank")))
+    base = j.groupBy("qid").agg(
+        F.sum("rel").alias("rr"),
+        *[
+            F.sum(F.when(F.col("rank") <= k, F.col("rel")).otherwise(0.0)).alias(
+                f"rr{k}"
+            )
+            for k in KS
+        ],
+        F.sum(F.when(F.col("rel") > 0, F.col("prec_at"))).alias("sum_prec"),
+        F.min(F.when(F.col("rel") > 0, F.col("rank"))).alias("first_rel"),
+        F.sum(F.when(F.col("rank") <= 1, dcg)).alias("dcg1"),
+        F.sum(F.when(F.col("rank") <= 5, dcg)).alias("dcg5"),
+        F.sum(F.when(F.col("rank") <= 10, dcg_bin)).alias("dcg10"),
+    )
+    idcg = (
+        _idcg_k(1, "gain", "idcg1")
+        .join(_idcg_k(5, "gain", "idcg5"), "qid")
+        .join(_idcg_k(10, "rel", "idcg10"), "qid")
+    )
+
+    # 11-pt with QRELS-relevant denominator, pivoted to pr0..pr10
+    total_rel_qrels = qrels.withColumn("rel", binary_rel()).groupBy("qid").agg(
+        F.sum("rel").alias("qrels_rr")
+    )
+    pr = (
+        j.join(total_rel_qrels, "qid")
+        .withColumn("recall_at", F.col("cum_rel") / F.col("qrels_rr"))
+    )
+    levels = results.sparkSession.createDataFrame(
+        [(round(i / 10.0, 1),) for i in range(11)], "lvl double"
+    )
+    pr11 = (
+        pr.crossJoin(F.broadcast(levels))
+        .where((F.col("recall_at") >= F.col("lvl")) & (F.col("rel") > 0))
+        .groupBy("qid")
+        .pivot("lvl", [round(i / 10.0, 1) for i in range(11)])
+        .agg(F.max("prec_at"))
+    )
+    pr_cols = [
+        F.coalesce(F.col(f"`{round(i / 10.0, 1)}`"), F.lit(0.0)).alias(f"pr{i}")
+        for i in range(11)
+    ]
+
+    out = base.join(idcg, "qid").join(pr11, "qid", "left")
+    p = {k: F.col(f"rr{k}") / k for k in KS}
+    # quirk: evaluatePRF breaks out at rank 10, so R@k's denominator is
+    # relevant-retrieved within the TOP 10, not the full list (:236-258)
+    r = {
+        k: F.when(F.col("rr10") > 0, F.col(f"rr{k}") / F.col("rr10")).otherwise(
+            0.0
+        )
+        for k in KS
+    }
+    f = {
+        k: F.when(
+            (p[k] + r[k]) != 0, 2 * p[k] * r[k] / (p[k] + r[k])
+        ).otherwise(0.0)
+        for k in KS
+    }
+    return out.select(
+        "qid",
+        *[p[k].alias(f"p{k}") for k in KS],
+        *[r[k].alias(f"r{k}") for k in KS],
+        *[f[k].alias(f"f{k}") for k in KS],
+        *pr_cols,
+        F.when(F.col("rr") > 0, F.col("sum_prec") / F.col("rr"))
+        .otherwise(0.0)
+        .alias("map"),
+        F.when(F.col("idcg1") > 0, F.col("dcg1") / F.col("idcg1"))
+        .otherwise(0.0)
+        .alias("ndcg1"),
+        F.when(F.col("idcg5") > 0, F.col("dcg5") / F.col("idcg5"))
+        .otherwise(0.0)
+        .alias("ndcg5"),
+        F.when(F.col("idcg10") > 0, F.col("dcg10") / F.col("idcg10"))
+        .otherwise(0.0)
+        .alias("ndcg10"),
+        F.when(F.col("first_rel").isNotNull(), 1.0 / F.col("first_rel"))
+        .otherwise(0.0)
+        .alias("mrr"),
+    )
+
+
 def interpolated_precision_11pt(
     results: DataFrame, qrels: DataFrame
 ) -> DataFrame:
