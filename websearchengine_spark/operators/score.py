@@ -43,15 +43,24 @@ def bm25_scores(
     num_docs: int,
     avgdl: float,
     mode: str = "conjunctive",
+    term_stats: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, score) — BM25 summed over query tokens (×multiplicity).
 
     Conjunctive filters to docs holding ALL distinct tokens; disjunctive
     scores any match.  df per token comes from the pruned relation itself
-    (correct for phrases too)."""
+    (correct for phrases too) — or, serve-mode, from a precomputed
+    ``term_stats(term, df, ...)`` table (an index-time artifact,
+    indexer.term_stats), which removes the per-query stats aggregation;
+    only valid when every token is a single word."""
     spark = tok_postings.sparkSession
     n_distinct = len(set(tokens))
-    stats = Q.token_stats(tok_postings)
+    if term_stats is not None:
+        stats = term_stats.where(F.col("term").isin(tokens)).select(
+            F.col("term").alias("token"), "df"
+        )
+    else:
+        stats = Q.token_stats(tok_postings)
     qc = _qcount_df(spark, tokens)
     idf = F.log(
         F.lit(1.0)

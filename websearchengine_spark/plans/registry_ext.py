@@ -421,6 +421,36 @@ SELECT user_id, session_id, count(*)::BIGINT AS n_events,
 FROM y GROUP BY 1, 2"""
 
 
+def q_wand_bm25_topk(spark, sf_dir):
+    """End-to-end segment path under the SQL oracle: gate postings ->
+    compressed block-max segments -> WAND-pruned top-10 BM25 — must equal
+    the relational BM25 oracle exactly (same SQL as bm25_topk)."""
+    from websearchengine_spark.operators import indexer, wand
+
+    p = R._postings(spark, sf_dir)
+    dl = R._doclen(spark, sf_dir).withColumnRenamed("doc_len", "dl")
+    full = p.join(dl, "doc_id")
+    num_docs = R._docs(spark, sf_dir).count()
+    total_tf = full.agg(F.sum("tf")).head()[0]
+    avgdl = float(total_tf) / num_docs
+    segs = indexer.build_segments(
+        full, avgdl=avgdl, chunk_docs=64, with_positions=False
+    )
+    res = wand.bm25_topk_segments(
+        segs, R.QUERY_TERMS, num_docs, avgdl, k=30, mode="conjunctive"
+    )
+    # re-round then re-rank so boundary ties resolve exactly like the
+    # oracle's round-then-sort
+    return (
+        res.select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+SQL_WAND_BM25_TOPK = R.SQL_BM25_TOPK
+
+
 # --------------------------------------------------------------------------
 # evaluation metrics (E1-E8) over the BM25 run with synthetic qrels
 # --------------------------------------------------------------------------
@@ -569,4 +599,5 @@ EXT_REGISTRY = {
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
     "eval_metrics": (q_eval_metrics, SQL_EVAL_METRICS),
+    "wand_bm25_topk": (q_wand_bm25_topk, SQL_WAND_BM25_TOPK),
 }
