@@ -413,7 +413,7 @@ SQL_EVENTS_SESSIONIZE = """WITH x AS (
 ),
 y AS (
   SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_id
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
   FROM x
 )
 SELECT user_id, session_id, count(*)::BIGINT AS n_events,
