@@ -1,0 +1,173 @@
+"""Rank-identity on the reference's REAL shipped index (hw3/data/index).
+
+The strongest parity evidence in the repo: Spark parses the reference's
+actual on-disk index text files (22 ``<c>.idx`` files, 119,867 terms,
+1,097,404 posting lists, 2,548,700 real term occurrences of the 10,229-doc
+Wikipedia crawl) and must reproduce — doc-for-doc, score-for-score — the
+pure-Python oracle's QL / BM25 / phrase / cosine / comprehensive rankings
+computed from an independent parse of the same files, using the
+reference's real doc lengths, PageRank and NumViews.
+
+Queries use shipped-letter terms only (the checkout ships .idx files for
+terms starting with " ' ( . 0-9 j k q u v x y z æ œ α); the phrase query
+"united kingdom" matches 2,394 real docs by positional adjacency.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from websearchengine_spark.oracle import engine as ENG
+from websearchengine_spark.oracle import refindex as ORI
+from websearchengine_spark.sources import refindex as RI
+
+REF_SENTINEL_DOCS = 10229
+REF_SENTINEL_TF = 26727905
+
+QUERIES = [
+    "york university",
+    "united kingdom",
+    "john young",
+    "july june 2011",
+]
+
+
+@pytest.fixture(scope="module")
+def oracle_idx():
+    return ORI.load_ref_index()
+
+
+@pytest.fixture(scope="module")
+def ref_tables(spark):
+    postings, docs, n, tot = RI.ref_index_tables(spark)
+    postings = postings.cache()
+    postings.count()
+    return postings, docs, n, tot
+
+
+def _spark_topk(df, ndigits=9):
+    return [(r.doc_id, round(r.score, ndigits)) for r in df.collect()]
+
+
+def _oracle_topk(pairs, ndigits=9):
+    return [(d, round(s, ndigits)) for d, s in pairs]
+
+
+def test_sentinels_and_counts(spark, ref_tables, oracle_idx):
+    postings, docs, n, tot = ref_tables
+    assert (n, tot) == (REF_SENTINEL_DOCS, REF_SENTINEL_TF)
+    assert (oracle_idx.num_docs, oracle_idx.total_terms) == (
+        REF_SENTINEL_DOCS,
+        REF_SENTINEL_TF,
+    )
+    # independent parses agree on the posting-list count and occurrence mass
+    assert postings.count() == sum(
+        len(v) for v in oracle_idx.postings.values()
+    )
+    from pyspark.sql import functions as F
+
+    spark_occ = postings.agg(F.sum("tf")).head()[0]
+    assert spark_occ == sum(
+        len(pl) for v in oracle_idx.postings.values() for pl in v.values()
+    )
+    # real doc lengths sum to the corpus sentinel (documents.totalTerms)
+    assert docs.agg(F.sum("doc_len")).head()[0] == REF_SENTINEL_TF
+
+
+def test_positions_parity_sampled_terms(ref_tables, oracle_idx):
+    postings, _, _, _ = ref_tables
+    from pyspark.sql import functions as F
+
+    for term in ["york", "zealand", "quebec", ".ds_store", "0"]:
+        rows = (
+            postings.where(F.col("term") == term)
+            .select("doc_id", "positions")
+            .collect()
+        )
+        got = {r.doc_id: list(r.positions) for r in rows}
+        want = oracle_idx.postings.get(term, {})
+        assert got == dict(want), term
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_bm25_parity_real_index(ref_tables, oracle_idx, query):
+    from websearchengine_spark.operators import score as S
+
+    postings, _, n, tot = ref_tables
+    got = _spark_topk(S.rank_bm25(postings, query, n, tot / n, k=10))
+    want = _oracle_topk(ENG.rank_bm25(oracle_idx, query, k=10))
+    assert got == want
+
+
+def test_bm25_disjunctive_parity_real_index(ref_tables, oracle_idx):
+    from websearchengine_spark.operators import score as S
+
+    postings, _, n, tot = ref_tables
+    q = "quebec zealand"
+    got = _spark_topk(
+        S.rank_bm25(postings, q, n, tot / n, k=10, mode="disjunctive")
+    )
+    want = _oracle_topk(ENG.rank_bm25(oracle_idx, q, k=10, mode="disjunctive"))
+    assert got == want
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_ql_parity_real_index(ref_tables, oracle_idx, query):
+    from websearchengine_spark.operators import score as S
+
+    postings, _, _, tot = ref_tables
+    got = _spark_topk(S.rank_ql(postings, query, tot, k=10), ndigits=15)
+    want = _oracle_topk(ENG.rank_ql(oracle_idx, query, k=10), ndigits=15)
+    assert got == want
+
+
+def test_phrase_parity_real_index(ref_tables, oracle_idx):
+    from websearchengine_spark.operators import score as S
+
+    postings, _, n, tot = ref_tables
+    q = '"united kingdom"'
+    got = _spark_topk(S.rank_bm25(postings, q, n, tot / n, k=10))
+    want = _oracle_topk(ENG.rank_bm25(oracle_idx, q, k=10))
+    assert got == want
+    # the phrase really bites: strictly fewer matches than the bag query
+    from websearchengine_spark.operators import query as Q
+
+    tp = Q.token_postings(postings, q)
+    n_phrase = tp.count()
+    tp_bag = Q.token_postings(postings, "united kingdom")
+    n_bag = (
+        Q.conjunctive_candidates(tp_bag, 2).count()
+    )
+    assert 0 < n_phrase < n_bag
+
+
+def test_comprehensive_cascade_parity_real_index(ref_tables, oracle_idx):
+    """R7 over real QL scores + real PageRank + real NumViews."""
+    from websearchengine_spark.operators import score as S
+
+    postings, docs, _, tot = ref_tables
+    got = [
+        (r.doc_id, round(r.score, 12))
+        for r in S.rank_comprehensive(
+            postings, docs, "york university", tot, k=10
+        ).collect()
+    ]
+    want = [
+        (d, round(s, 12))
+        for d, s in ENG.rank_comprehensive(oracle_idx, "york university", k=10)
+    ]
+    assert got == want
+
+
+def test_cosine_parity_real_index(ref_tables, oracle_idx):
+    from websearchengine_spark.operators import score as S
+
+    postings, _, n, _ = ref_tables
+    q = "york university"
+    got = _spark_topk(S.rank_cosine(postings, q, n, k=10), ndigits=9)
+    scores = ENG.cosine_scores(oracle_idx, q)
+    want = sorted(
+        ((d, round(s, 9)) for d, s in scores.items() if s > 0),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    assert got == want

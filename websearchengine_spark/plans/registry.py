@@ -550,9 +550,13 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
 
 
 def _full_registry() -> dict[str, tuple[Callable, str | None]]:
-    from websearchengine_spark.plans import registry_ext
+    from websearchengine_spark.plans import registry_ext, registry_ref
 
-    return {**REGISTRY, **registry_ext.EXT_REGISTRY}
+    return {
+        **REGISTRY,
+        **registry_ext.EXT_REGISTRY,
+        **registry_ref.REF_REGISTRY,
+    }
 
 
 def queries() -> dict[str, Callable]:
