@@ -71,7 +71,10 @@ class TestExtract:
 
     def test_entities_and_whitespace(self):
         html = b"<body>a&amp;b   c\n\td&nbsp;e</body>"
-        assert tn.extract_text(html) == "a&b c d e"
+        # jsoup decodes &nbsp; to U+00A0 and does NOT treat it as
+        # collapsible whitespace (StringUtil.isWhitespace is the 5 ASCII
+        # chars only) — verified byte-identical vs the shipped jar.
+        assert tn.extract_text(html) == "a&b c d\xa0e"
 
     def test_no_body_tag(self):
         assert tn.extract_text(b"<head><title>x</title></head>plain text") == "plain text"

@@ -144,51 +144,142 @@ def body_for_indexing(title: str, text: str) -> str:
 
 
 # --------------------------------------------------------------------------
-# HTML -> visible text (S2).  FROZEN extractor; byte-identity is a test gate.
+# HTML -> visible text (S2): a faithful reimplementation of jsoup 1.8.1
+# Element.text() on body(), the reference's exact extraction call
+# (IndexerInvertedCompressed.java:114-116, jsoup-1.8.1.jar shipped in the
+# checkout).  Byte-identity against outputs of the real jar over the
+# reference's shipped Wikipedia pages is a test gate
+# (tests/goldens/simple_extract, tests/test_textnorm.py).
 # --------------------------------------------------------------------------
 
-_SCRIPT_RE = re.compile(r"(?is)<script\b.*?</script\s*>")
-_STYLE_RE = re.compile(r"(?is)<style\b.*?</style\s*>")
-_COMMENT_RE = re.compile(r"(?s)<!--.*?-->")
-_HEAD_RE = re.compile(r"(?is)<head\b.*?</head\s*>")
-_BODY_RE = re.compile(r"(?is)<body\b[^>]*>(.*?)</body\s*>")
-_TAG_RE = re.compile(r"(?s)<[^>]*>")
-_WS_RE = re.compile(r"[ \t\r\n\f\v ]+")
+from html.parser import HTMLParser
 
-_ENTITIES = {
-    "&amp;": "&",
-    "&lt;": "<",
-    "&gt;": ">",
-    "&quot;": '"',
-    "&#39;": "'",
-    "&apos;": "'",
-    "&nbsp;": " ",
-}
-_ENTITY_RE = re.compile("|".join(re.escape(k) for k in _ENTITIES))
+# Tag classes reflected out of the shipped jsoup-1.8.1.jar Tag registry
+# (Tag.isBlock / Tag.preserveWhitespace); the text() space rule fires for
+# block tags and <br>.
+_JSOUP_BLOCK = frozenset(
+    """address aside audio blockquote body canvas caption col colgroup dd
+    del details div dl dt fieldset figcaption figure footer form frame
+    frameset h1 h2 h3 h4 h5 h6 head header hgroup hr html ins li link menu
+    meta nav noframes noscript ol p plaintext pre s script section style
+    table tbody td tfoot th thead title tr ul video""".split()
+)
+_JSOUP_PRESERVE_WS = frozenset(["plaintext", "pre", "textarea", "title"])
+# jsoup StringUtil.isWhitespace — exactly these five; U+00A0 is NOT
+# whitespace and survives normalization as a literal char.
+_JSOUP_WS = frozenset(" \t\n\f\r")
 
 
-def extract_text(html: bytes | str) -> str:
-    """HTML -> visible body text (Jsoup ``body().text()`` model,
-    IndexerInvertedCompressed.java:114-116).
+def _append_normalised(accum: list, text: str, strip_leading: bool) -> None:
+    """StringUtil.appendNormalisedWhitespace: collapse jsoup-whitespace runs
+    to one space; drop the leading run iff ``strip_leading``."""
+    last_white = False
+    reached_non_white = False
+    for ch in text:
+        if ch in _JSOUP_WS:
+            if (strip_leading and not reached_non_white) or last_white:
+                continue
+            accum.append(" ")
+            last_white = True
+        else:
+            accum.append(ch)
+            last_white = False
+            reached_non_white = True
 
-    Deterministic and frozen: decode UTF-8 -> drop comments/script/style ->
-    take <body> content (else drop <head>) -> tags -> space -> decode basic
-    entities -> collapse whitespace runs to one space -> strip.
+
+class _JsoupBodyText(HTMLParser):
+    """Streaming twin of jsoup 1.8.1 ``body().text()``:
+
+    - NodeTraversor head(): at each element start inside body, append one
+      space iff accum is non-empty, the tag is block-level or <br>, and the
+      last accumulated char is not ' ' (TextNode.lastCharIsWhitespace
+      checks ' ' specifically, so a preserved '\\n' does NOT count);
+    - TextNode: whitespace-normalized append (raw when the immediate
+      parent preserves whitespace — pre/plaintext/textarea/title);
+    - script/style content are DataNodes in jsoup and contribute no text
+      (the elements themselves still trigger the block-space rule);
+    - head content is outside body; stray non-whitespace text before/after
+      body re-enters body per the tree-builder's after-head/after-body
+      modes, while inter-head whitespace is dropped.
     """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.accum: list = []
+        self.stack: list = []
+        self.in_head = False
+        self.in_body = False
+        self.skip_data = 0  # script/style nesting
+
+    def _element_head(self, tag: str) -> None:
+        if tag == "head":
+            self.in_head = True
+        elif tag == "body":
+            self.in_head = False
+            self.in_body = True
+        elif not self.in_head and not self.in_body and tag != "html":
+            # after-head (or before-head) non-head content implies <body>
+            self.in_body = True
+        if (
+            self.in_body
+            and self.accum
+            and (tag in _JSOUP_BLOCK or tag == "br")
+            and self.accum[-1] != " "
+        ):
+            self.accum.append(" ")
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        self._element_head(tag)
+        self.stack.append(tag)
+        if tag in ("script", "style"):
+            self.skip_data += 1
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        self._element_head(tag)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "head":
+            self.in_head = False
+        if tag in self.stack:
+            while self.stack:
+                top = self.stack.pop()
+                if top in ("script", "style"):
+                    self.skip_data -= 1
+                if top == tag:
+                    break
+
+    def handle_data(self, data: str) -> None:
+        if self.skip_data or self.in_head:
+            return
+        if not self.in_body:
+            if any(c not in _JSOUP_WS for c in data):
+                self.in_body = True  # non-ws text implies body
+            else:
+                return  # inter-head whitespace never lands in body
+        parent = self.stack[-1] if self.stack else ""
+        if parent in _JSOUP_PRESERVE_WS:
+            self.accum.append(data)
+        else:
+            _append_normalised(
+                self.accum, data, bool(self.accum) and self.accum[-1] == " "
+            )
+
+
+_JAVA_TRIM = "".join(chr(c) for c in range(0x21))
+
+
+def extract_text(html) -> str:
+    """HTML -> visible body text, byte-identical to the reference's
+    ``Jsoup.parse(file, "UTF-8").body().text()`` (jsoup 1.8.1 semantics,
+    IndexerInvertedCompressed.java:114-116), golden-gated on the shipped
+    real Wikipedia pages."""
     if isinstance(html, (bytes, bytearray)):
         html = bytes(html).decode("utf-8", errors="replace")
-    s = _COMMENT_RE.sub(" ", html)
-    s = _SCRIPT_RE.sub(" ", s)
-    s = _STYLE_RE.sub(" ", s)
-    m = _BODY_RE.search(s)
-    if m is not None:
-        s = m.group(1)
-    else:
-        s = _HEAD_RE.sub(" ", s)
-    s = _TAG_RE.sub(" ", s)
-    s = _ENTITY_RE.sub(lambda mm: _ENTITIES[mm.group(0)], s)
-    s = _WS_RE.sub(" ", s)
-    return s.strip()
+    p = _JsoupBodyText()
+    p.feed(html)
+    p.close()
+    # Java String.trim(): strip leading/trailing chars <= U+0020
+    return "".join(p.accum).strip(_JAVA_TRIM)
 
 
 # --------------------------------------------------------------------------
