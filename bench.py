@@ -56,9 +56,21 @@ HEADLINE = [
 
 
 def _force(df) -> int:
-    """Execute the plan; count() is enough to run every stage for our
-    aggregate-shaped results (no lazy projection is skipped that matters)."""
-    return df.count()
+    """Execute the plan with EVERY output column materialized.
+
+    ``count()`` is not enough: Catalyst prunes aggregate expressions the
+    row count doesn't need, so expensive per-group columns (quality_score,
+    lang_id, ...) could be skipped and the timing would flatter us.  A
+    checksum over all columns forces full evaluation JVM-side at
+    negligible overhead."""
+    from pyspark.sql import functions as F
+
+    row = (
+        df.select(F.xxhash64(*[F.col(c) for c in df.columns]).alias("h"))
+        .agg(F.expr("bit_xor(h)").alias("s"), F.count(F.lit(1)).alias("n"))
+        .head()
+    )
+    return int(row.n)
 
 
 def main() -> None:

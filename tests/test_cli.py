@@ -33,8 +33,12 @@ def test_build_and_query(spark, corpus_dir, tmp_path, capsys):
         l for l in capsys.readouterr().out.strip().splitlines() if "\t" in l
     ]
     assert 0 < len(lines) <= 5
-    doc_id, score = lines[0].split("\t")
+    # hw1 output format: query \t docid \t title \t score
+    # (ScoredDocument.java:15-18)
+    query, doc_id, title, score = lines[0].split("\t")
+    assert query == "web search"
     assert int(doc_id) >= 0 and float(score) > 0
+    assert title  # fixture urls (Doc_NNNNNN_*) serve as titles
 
     # phrase query goes down the positional decode path
     cli.main(["query", "--index", out, "--q", '"data mining"', "--k", "5"])

@@ -23,6 +23,11 @@ import os
 import sys
 
 
+# avgdl sample size for cmd_build: first N docs by dense doc_id (exact for
+# corpora at or under the cap; a stable estimate above it)
+AVGDL_SAMPLE_DOCS = 1 << 16
+
+
 def _spark(cpus: str | None = None):
     from websearchengine_spark.session import get_spark
 
@@ -39,17 +44,36 @@ def cmd_build(args) -> None:
     if "lang" in corpus.columns:
         corpus = corpus.where(F.col("lang") == "en")
     ids = indexer.assign_doc_ids(corpus.select("url", "text"))
-    # collection stats for block-max weights; persisted beside the index
-    postings = indexer.build_postings(ids)
-    stats = indexer.collection_stats(indexer.docs_table(ids, postings)).head()
-    avgdl = float(stats.avgdl or 1.0)
+    # avgdl for block-max weights, estimated from the FIRST sample-cap docs
+    # (doc_ids are dense from 0, so the predicate is deterministic and
+    # shuffle-free).  Tokenization dominates build cost; the old exact
+    # pre-pass tokenized the whole corpus a second time.  For corpora under
+    # the cap the estimate IS exact; the estimate is stored and used by
+    # every reader, so scoring and block-max bounds stay consistent.
+    sample = ids.where(F.col("doc_id") < AVGDL_SAMPLE_DOCS)
+    avgdl = float(
+        indexer.build_postings(sample)
+        .groupBy("doc_id")
+        .agg(F.first("dl").alias("dl"))
+        .agg(F.avg("dl"))
+        .head()[0]
+        or 1.0
+    )
     cp = checkpoint.IndexCheckpointer(
         args.out, docs_per_part=args.docs_per_part
     )
     written = cp.build(ids, avgdl=avgdl)
+    # docs sidecar for serving: title joins in query output (the reference
+    # uses the corpus file name as the title, ScoredDocument.java:15-18)
+    ids.select("doc_id", F.col("url").alias("title")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(args.out, "docs"))
+    # exact corpus stats come free from the per-partition lineage manifest
+    # — no second tokenization pass
+    lineage = cp.lineage()
     meta = {
-        "num_docs": int(stats.num_docs),
-        "total_terms": int(stats.total_terms),
+        "num_docs": int(sum(l.n_docs for l in lineage)),
+        "total_terms": int(sum(l.sum_tf for l in lineage)),
         "avgdl": avgdl,
         "docs_per_part": args.docs_per_part,
     }
@@ -100,8 +124,21 @@ def cmd_query(args) -> None:
             k=args.k,
             mode=args.mode,
         )
-    for r in out.collect():
-        print(f"{r.doc_id}\t{r.score:.6f}")
+    # hw1 result format: query \t docid \t title \t score
+    # (ScoredDocument.java:15-18 asString); title from the docs sidecar
+    docs_path = os.path.join(args.index, "docs")
+    if os.path.exists(docs_path):
+        from pyspark.sql import functions as F
+
+        titles = spark.read.parquet(docs_path)
+        out = out.join(F.broadcast(titles), "doc_id", "left").select(
+            "doc_id", F.coalesce("title", F.lit("")).alias("title"), "score"
+        )
+        for r in out.orderBy(F.desc("score"), F.asc("doc_id")).collect():
+            print(f"{args.q}\t{r.doc_id}\t{r.title}\t{r.score:.6f}")
+    else:
+        for r in out.collect():
+            print(f"{args.q}\t{r.doc_id}\t\t{r.score:.6f}")
 
 
 def cmd_merge(args) -> None:

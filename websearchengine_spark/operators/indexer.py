@@ -55,7 +55,10 @@ def assign_doc_ids(corpus: DataFrame, n_parts: int | None = None) -> DataFrame:
     """
     spark = corpus.sparkSession
     if n_parts is None:
-        n_parts = max(corpus.rdd.getNumPartitions(), 8)
+        # defaultParallelism, NOT corpus.rdd.getNumPartitions(): touching
+        # .rdd forces a DataFrame->RDD conversion of the whole scan plan
+        # just to read a number
+        n_parts = max(spark.sparkContext.defaultParallelism, 8)
     parted = corpus.repartitionByRange(n_parts, "url").sortWithinPartitions("url")
 
     counts_schema = T.StructType(
