@@ -9,7 +9,7 @@ from collections import Counter
 import pytest
 from pyspark.sql import functions as F
 
-from websearchengine_spark.functions.textnorm import parse_query, tokenize_document
+from websearchengine_spark.functions.textnorm import parse_query
 from websearchengine_spark.operators import ads as A
 from websearchengine_spark.sources import fixture
 
@@ -40,8 +40,10 @@ def _oracle_rank(rows, bids_rows, ctr_rows, query, k=3):
     docs = {}
     titles = {}
     for ad_key, title, body in rows:
-        docs[ad_key] = tokenize_document(ad_key, title + " " + body)
-        titles[ad_key] = tokenize_document(ad_key, title)
+        # AdsIndex tokenization: title ++ body, raw whitespace split, no
+        # scrub, company_ads never indexed (processDocument:149-167)
+        docs[ad_key] = A.ad_tokens(title, body)
+        titles[ad_key] = A.ad_tokens(title)
     total = sum(len(t) for t in docs.values())
     ctf = Counter()
     for toks in docs.values():
@@ -130,3 +132,66 @@ def test_ctr_update(spark):
 def test_no_matching_keyword_returns_empty(spark, ads_setup):
     rows, ads, postings, title_tf, bids, ctr = ads_setup
     assert A.rank_ads(ads, postings, title_tf, bids, ctr, "zzz qqq").count() == 0
+
+
+# --------------------------------------------------------------------------
+# S4 — the reference's SHIPPED advertisement.tsv (real ad corpus)
+# --------------------------------------------------------------------------
+
+
+def _shipped_rows():
+    rows = []
+    with open(A.ADS_TSV, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if line:
+                parts = line.split("\t")
+                rows.append((parts[0], parts[1], parts[2]))
+    return rows
+
+
+def test_shipped_ads_tsv_ingest(spark):
+    """27 real ads parse with unique company_ads keys and non-trivial
+    token mass (AdsIndex key-uniqueness check, constructIndex:175-179)."""
+    ads, postings, title_tf = A.ads_tables_from_tsv(spark)
+    n = ads.count()
+    assert n == 27
+    assert ads.select("ad_key").distinct().count() == n
+    assert postings.agg(F.sum("tf")).head()[0] > 300
+    # company parse: 'ScienceNews.org_1' -> ('ScienceNews.org', '1')
+    row = ads.where(F.col("ad_key") == "ScienceNews.org_1").head()
+    assert (row.company, row.ad_id) == ("ScienceNews.org", "1")
+
+
+@pytest.mark.parametrize("query", ["science news", "advertising technology"])
+def test_rank_ads_parity_shipped_corpus(spark, query):
+    """R9/R10 parity over the REAL shipped ad text (bids/CTR synthetic —
+    ad.json and CTR.json ship empty)."""
+    rows = _shipped_rows()
+    ads, postings, title_tf = A.ads_tables_from_tsv(spark)
+    bids = spark.createDataFrame(
+        [
+            ("science", "ScienceNews.org", "1", 2.0),
+            ("science", "ScienceChannel", "1", 1.5),
+            ("news", "ScienceNews.org", "1", 0.5),
+            ("advertising", "YP.com", "1", 1.0),
+            ("technology", "makovsky.com‎", "1", 2.5),
+        ],
+        "keyword string, company string, ad_id string, price double",
+    )
+    ctr = spark.createDataFrame(
+        [("science", "ScienceChannel_1", 0.4)],
+        "keyword string, ad_key string, ctr double",
+    )
+    got = A.rank_ads(ads, postings, title_tf, bids, ctr, query).collect()
+    want = _oracle_rank(
+        rows,
+        [(r.keyword, r.company, r.ad_id, r.price) for r in bids.collect()],
+        [(r.keyword, r.ad_key, r.ctr) for r in ctr.collect()],
+        query,
+    )
+    assert [r.ad_key for r in got] == [a for a, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert r.score == pytest.approx(s, rel=1e-9)
+    if query == "science news":
+        assert got, "real science ads must match the science query"

@@ -159,6 +159,25 @@ def test_comprehensive_cascade_parity_real_index(ref_tables, oracle_idx):
     assert got == want
 
 
+def test_fullscan_parity_real_titles(ref_tables, oracle_idx):
+    """R8 over the reference's 10,229 REAL titles: query tokens match
+    indexed title terms ('1820' and 'timbaland' are actual shipped titles;
+    'zzz' matches none)."""
+    from websearchengine_spark.operators import score as S
+
+    _, docs, _, _ = ref_tables
+    for q in ["1820 timbaland", "zzz nothing"]:
+        got = [
+            (r.doc_id, r.score)
+            for r in S.rank_fullscan(docs, q, k=15).collect()
+        ]
+        want = ENG.rank_fullscan(oracle_idx.urls, q, k=15)
+        assert got == want, q
+    # the positive query really hits: score-1 docs exist
+    hits = [s for _, s in ENG.rank_fullscan(oracle_idx.urls, "1820 timbaland", k=15)]
+    assert hits[0] == 1.0 and 0.0 in hits
+
+
 def test_cosine_parity_real_index(ref_tables, oracle_idx):
     from websearchengine_spark.operators import score as S
 

@@ -30,7 +30,7 @@ from collections import Counter
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from websearchengine_spark.functions.textnorm import parse_query, tokenize_document
+from websearchengine_spark.functions.textnorm import normalize_token, parse_query
 
 QL_BETA = 0.5
 QS_REL_W = 0.3
@@ -38,18 +38,53 @@ QS_CTR_W = 0.7
 DEFAULT_CTR = 0.1
 TOP_ADS = 3
 
+ADS_TSV = "/root/reference/project/data/ads/advertisement.tsv"
+
+
+def ad_tokens(title: str, body: str = "") -> list[str]:
+    """AdsIndex.processDocument:149-167 + readTerms:184-214: title tokens
+    then body tokens, each whitespace-split -> stem -> lowercase ->
+    stopword-filtered.  Unlike the web indexer there is NO boilerplate
+    strip and NO non-alphanumeric scrub — ad text is indexed raw."""
+    out = []
+    for raw in (*title.split(), *body.split()):
+        t = normalize_token(raw)
+        if t is not None:
+            out.append(t)
+    return out
+
+
+def ads_tables_from_tsv(spark, path: str = ADS_TSV):
+    """S4 — the reference's SHIPPED ads corpus.  AdsIndex.constructIndex
+    (:97-123) reads ``advertisement.tsv`` line by line and
+    processDocument scans the first three tab fields as
+    (company_ads, title, body); extra fields are ignored.  The corpus is
+    dimension-table scale by design (the reference pins hot posting lists
+    in memory, AdsIndex.java:321-323), so rows pass through the driver
+    into the same broadcastable tables as synthetic input."""
+    with open(path, encoding="utf-8") as fh:
+        rows = []
+        for line in fh:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            parts = line.split("\t")
+            if len(parts) >= 3:
+                rows.append((parts[0], parts[1], parts[2]))
+    return ads_tables(spark, rows)
+
 
 def ads_tables(spark, ads_rows: list[tuple[str, str, str]]):
     """(ads, postings, title_tf) from (company_ads, title, body) rows.
-    Tokenization = the reference pipeline (stem-then-lowercase,
-    stopwords); ad doc = title tokens ++ body tokens."""
+    Ad doc = title tokens ++ body tokens per ``ad_tokens`` (the faithful
+    AdsIndex tokenization: company_ads is a lookup key, never indexed)."""
     ads_data = []
     post_rows = []
     title_rows = []
     for ad_key, title, body in ads_rows:
         company, _, ad_id = ad_key.rpartition("_")
-        toks = tokenize_document(ad_key, title + " " + body)
-        title_toks = tokenize_document(ad_key, title)
+        toks = ad_tokens(title, body)
+        title_toks = ad_tokens(title)
         ads_data.append((ad_key, company, ad_id, title, body, len(toks)))
         for t, c in Counter(toks).items():
             post_rows.append((t, ad_key, c))

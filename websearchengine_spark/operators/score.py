@@ -324,6 +324,37 @@ def rank_numviews(docs: DataFrame, k: int = 10) -> DataFrame:
     return topk(numviews_scores(docs), k)
 
 
+def rank_fullscan(docs: DataFrame, query: str, k: int = 10) -> DataFrame:
+    """R8 — full-scan ranker (RankerFullScan.java:25-61): EVERY doc is
+    scored — 1.0 if any raw whitespace query token equals any of the doc's
+    INDEXED title terms (getConvertedTitleTokens: stem -> lowercase ->
+    stopword filter), else 0.0 — then a stable reverse sort returns the
+    first k (stability == doc_id asc tiebreak, since docs enter in did
+    order).  Faithful quirk: the QUERY side is NOT stemmed
+    (Query.processQuery:24-33 is a plain whitespace split), so only query
+    words that already look like index terms can match.
+
+    ``docs`` must carry (doc_id, title).  arrays_overlap over the
+    title-term array is one codegen'd projection + TakeOrdered — no joins,
+    no shuffle beyond top-k."""
+    from websearchengine_spark.functions.udfs import tokenize_udf
+
+    qtokens = sorted(set(query.lower().split()))
+    if not qtokens:
+        return docs.sparkSession.createDataFrame([], "doc_id long, score double")
+    qarr = F.array(*[F.lit(t) for t in qtokens])
+    scored = docs.select(
+        "doc_id",
+        F.when(
+            F.arrays_overlap(tokenize_udf(F.col("title"), F.lit("")), qarr),
+            F.lit(1.0),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("score"),
+    )
+    return topk(scored, k)
+
+
 def rank_comprehensive(
     postings: DataFrame,
     docs: DataFrame,

@@ -169,9 +169,6 @@ def bm25_topk_segments(
         chunk_meta = chunk_meta.where(
             F.col("n_terms_present") == len(terms)
         )
-    chunk_rows = chunk_meta.select("chunk", "chunk_ub").collect()
-    n_chunks = len(chunk_rows)
-    chunk_rows.sort(key=lambda r: -r.chunk_ub)
 
     # residual per (chunk, term) = chunk_ub - that term's chunk max
     residual = per_term.join(chunk_meta.select("chunk", "chunk_ub"), "chunk").select(
@@ -179,7 +176,7 @@ def bm25_topk_segments(
     )
     segs_r = segs.join(residual, ["chunk", "term"])
 
-    if not prune or n_chunks <= probe_chunks:
+    if not prune:
         scored = _score_chunks(
             segs_r.withColumn("residual", F.lit(float("inf"))),
             idfs,
@@ -187,6 +184,7 @@ def bm25_topk_segments(
             float("-inf"),
         )
         if stats is not None:
+            n_chunks = chunk_meta.count()
             stats.update(
                 n_chunks=n_chunks, probed=n_chunks, survivors=0,
                 theta=float("-inf"),
@@ -194,9 +192,18 @@ def bm25_topk_segments(
         return _finalize(scored, mode, len(terms), k)
 
     # --- probe: exact scores for the top-ub chunks -> theta ---
-    probe_ids = [r.chunk for r in chunk_rows[:probe_chunks]]
+    # TakeOrderedAndProject keeps the selection distributed; the driver
+    # never materializes the per-chunk metadata (at 10^12 docs that is
+    # ~15M chunk rows per query).  The tiny probe set broadcasts into the
+    # segment join.
+    probe_df = (
+        chunk_meta.select("chunk", "chunk_ub")
+        .orderBy(F.desc("chunk_ub"), F.asc("chunk"))
+        .limit(probe_chunks)
+        .cache()
+    )
     probe_scored = _score_chunks(
-        segs_r.where(F.col("chunk").isin(probe_ids)),
+        segs_r.join(F.broadcast(probe_df.select("chunk")), "chunk"),
         idfs,
         avgdl,
         float("-inf"),
@@ -204,35 +211,34 @@ def bm25_topk_segments(
     eligible = probe_scored
     if mode == "conjunctive":
         eligible = probe_scored.where(F.col("n_hit") == len(terms))
-    kth = (
-        eligible.orderBy(F.desc("score")).limit(k).collect()
-    )
+    # theta is one scalar: the ONLY probe data the driver sees (<= k rows)
+    kth = eligible.orderBy(F.desc("score")).limit(k).collect()
     theta = kth[k - 1].score if len(kth) >= k else float("-inf")
 
-    # --- prune + final pass over surviving chunks ---
-    survivor_ids = [
-        r.chunk
-        for r in chunk_rows[probe_chunks:]
-        if r.chunk_ub >= theta
-    ]
+    # --- prune + final pass over surviving chunks (anti-join away the
+    # probed chunks, keep chunk_ub >= theta; the chunk filter is a join,
+    # never an isin literal, so the plan stays bounded however many
+    # chunks survive) ---
+    survivors_df = (
+        chunk_meta.select("chunk", "chunk_ub")
+        .join(probe_df.select("chunk"), "chunk", "left_anti")
+        .where(F.col("chunk_ub") >= F.lit(theta))
+        .select("chunk")
+    )
     if stats is not None:
         stats.update(
-            n_chunks=n_chunks,
-            probed=len(probe_ids),
-            survivors=len(survivor_ids),
+            n_chunks=chunk_meta.count(),
+            probed=probe_df.count(),
+            survivors=survivors_df.count(),
             theta=theta,
         )
-    parts = [probe_scored]
-    if survivor_ids:
-        parts.append(
-            _score_chunks(
-                segs_r.where(F.col("chunk").isin(survivor_ids)),
-                idfs,
-                avgdl,
-                theta,
-            )
-        )
-    scored = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    surv_scored = _score_chunks(
+        segs_r.join(survivors_df, "chunk"),
+        idfs,
+        avgdl,
+        theta,
+    )
+    scored = probe_scored.unionByName(surv_scored)
     # block-level skips can drop SOME partials of a below-theta doc, so
     # re-aggregate and keep docs whose retained score clears theta OR that
     # came from the probe (probe is exact)

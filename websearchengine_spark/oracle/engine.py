@@ -212,6 +212,27 @@ def rank_comprehensive(idx, query, k=10):
     return top[:k]
 
 
+def rank_fullscan(titles: list[str], query: str, k: int = 10):
+    """R8 literal oracle (RankerFullScan.java:25-61): title terms are the
+    indexed (stem -> lowercase -> stopword-filtered) title tokens; query
+    tokens are the RAW whitespace split (Query.processQuery:24-33 — no
+    stemming); score 1.0 on any equality, else 0.0; stable reverse sort =
+    (-score, doc_id)."""
+    from websearchengine_spark.functions.textnorm import normalize_token
+
+    qtokens = set(query.lower().split())
+    scored = []
+    for doc_id, title in enumerate(titles):
+        terms = {
+            t
+            for t in (normalize_token(w) for w in title.split())
+            if t is not None
+        }
+        scored.append((doc_id, 1.0 if terms & qtokens else 0.0))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    return scored[:k]
+
+
 def cosine_scores(idx: OracleIndex, query: str) -> dict[int, float]:
     """hw1 Ranker.java:57-114 — tf-idf doc vector over ALL doc terms with
     idf = 1 + log2(N/df); query vector is raw tf; cosine."""

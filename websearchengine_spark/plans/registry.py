@@ -175,6 +175,7 @@ def q_conjunctive_match(spark, sf_dir):
 
 
 _terms_sql = ",".join(f"'{t}'" for t in QUERY_TERMS)
+_fullscan_terms = _terms_sql
 SQL_CONJUNCTIVE_MATCH = f"""WITH {_SQL_POSTINGS_CTE}
 SELECT doc_id FROM postings WHERE term IN ({_terms_sql})
 GROUP BY doc_id HAVING count(DISTINCT term) = {len(QUERY_TERMS)}"""
@@ -262,6 +263,30 @@ scored AS (
 )
 SELECT doc_id, score FROM scored WHERE n_hit = {len(QUERY_TERMS)}
 ORDER BY score DESC, doc_id ASC LIMIT 10"""
+
+
+def q_fullscan_topk(spark, sf_dir):
+    """R8 — full-scan ranker (RankerFullScan.java:25-61): every doc scored
+    1.0 if its title tokens (gate proxy: first 8 text tokens) hit any gate
+    query term, else 0.0; stable reverse sort (score desc, doc_id asc).
+    One codegen'd projection + TakeOrdered — no join, no shuffle."""
+    d = _docs(spark, sf_dir)
+    title_arr = F.slice(_toks(), 1, 8)
+    qarr = F.array(*[F.lit(t) for t in QUERY_TERMS])
+    scored = d.select(
+        "doc_id",
+        F.when(F.arrays_overlap(title_arr, qarr), F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+
+
+SQL_FULLSCAN_TOPK = f"""WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       CASE WHEN len(list_intersect(toks[1:8], [{_fullscan_terms}])) > 0
+            THEN 1.0 ELSE 0.0 END::DOUBLE AS score
+FROM t ORDER BY score DESC, doc_id ASC LIMIT 20"""
 
 
 def q_ql_topk(spark, sf_dir):
@@ -537,6 +562,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "conjunctive_match": (q_conjunctive_match, SQL_CONJUNCTIVE_MATCH),
     "disjunctive_match": (q_disjunctive_match, SQL_DISJUNCTIVE_MATCH),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "fullscan_topk": (q_fullscan_topk, SQL_FULLSCAN_TOPK),
     "ql_topk": (q_ql_topk, SQL_QL_TOPK),
     "phrase_match": (q_phrase_match, SQL_PHRASE_MATCH),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
