@@ -188,3 +188,90 @@ def test_near_dup_pairs_blocked(spark, emb_df):
         if a % 2 == b % 2 and round(_cos(v32[a], v32[b]), 6) >= 0.9
     }
     assert set(got) == expect
+
+
+# --------------------------------------------------------------------------
+# random-hyperplane LSH (seeded, multi-table) — planted-near-dup recall
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Real testdata embeddings + 50 planted near-duplicates (small seeded
+    perturbations, cosine >= ~0.995 to their base vector)."""
+    base = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .orderBy("vec_id")
+        .collect()
+    )
+    rng = np.random.default_rng(7)
+    rows = [(r.vec_id, [float(x) for x in r.embedding], 0) for r in base]
+    planted_pairs = []
+    for i in range(50):
+        src = base[i * 7 % len(base)]
+        v = np.asarray(src.embedding, dtype=np.float64)
+        noise = rng.standard_normal(v.shape)
+        v2 = v + noise * (0.02 * np.linalg.norm(v) / np.linalg.norm(noise))
+        dup_id = 100000 + i
+        rows.append((dup_id, [float(x) for x in v2], 0))
+        planted_pairs.append((int(src.vec_id), dup_id))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).cache()
+    df.count()
+    return df, planted_pairs
+
+
+def test_near_dup_lsh_recall_on_planted(spark, planted):
+    """Default (hyperplane-LSH-blocked, skew-guarded) near-dup must find
+    >= 90% of planted near-identical pairs without any all-pairs join."""
+    from websearchengine_spark.operators import similarity
+
+    df, pairs = planted
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.near_dup_pairs_cosine(df, 0.98).collect()
+    }
+    found = sum(1 for p in pairs if p in got)
+    assert found / len(pairs) >= 0.9, (found, len(pairs))
+
+
+def test_hlsh_topk_recall_on_planted(spark, planted):
+    """For a perturbed query, multi-table Hamming-probe LSH must surface
+    the true base neighbor in its candidate top-k almost always, while
+    scanning only a fraction of the corpus."""
+    from websearchengine_spark.operators import similarity
+
+    df, pairs = planted
+    emb = {r.vec_id: list(r.embedding) for r in df.collect()}
+    hits = 0
+    n_queries = 12
+    for base_id, dup_id in pairs[:n_queries]:
+        got = [
+            r.vec_id
+            for r in similarity.cosine_topk_hlsh(
+                df, emb[dup_id], k=3
+            ).collect()
+        ]
+        if base_id in got:
+            hits += 1
+    assert hits / n_queries >= 0.9, hits
+    # and the candidate filter really prunes: a single bucket holds far
+    # fewer than the full corpus
+    from pyspark.sql import functions as F
+
+    planes = similarity.hyperplanes(64)
+    bucketed = df.select(
+        similarity.hyperplane_bucket(F.col("embedding"), planes).alias("b")
+    )
+    biggest = bucketed.groupBy("b").count().agg(F.max("count")).head()[0]
+    assert biggest < df.count() / 2
+
+
+def test_hlsh_tables_are_independent():
+    from websearchengine_spark.operators import similarity
+
+    t0 = similarity.hyperplanes(64, table=0)
+    t1 = similarity.hyperplanes(64, table=1)
+    assert t0 != t1
+    assert t0 == similarity.hyperplanes(64, table=0)  # deterministic

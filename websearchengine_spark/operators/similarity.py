@@ -18,7 +18,48 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-LSH_SIGN_DIMS = [0, 7, 14, 21, 28, 35, 42, 49]  # fixed, documented contract
+LSH_SIGN_DIMS = [0, 7, 14, 21, 28, 35, 42, 49]  # legacy axis-aligned contract
+
+# random-hyperplane LSH defaults: seeded + rounded so Spark, the SQL
+# oracle, and any pure-Python oracle derive bit-identical planes
+HLSH_SEED = 42
+HLSH_BITS = 8
+HLSH_TABLES = 4
+HLSH_PROBE_HAMMING = 1
+NEAR_DUP_MAX_BUCKET = 256
+
+
+def hyperplanes(
+    dim: int, bits: int = HLSH_BITS, seed: int = HLSH_SEED, table: int = 0
+) -> list[list[float]]:
+    """``bits`` Gaussian hyperplanes for one LSH table — deterministic in
+    (seed, table) and rounded to 6 dp so every engine (Spark literal
+    arrays, DuckDB literal lists) computes identical sign bits."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed * 1_000_003 + table)
+    return [
+        [round(float(v), 6) for v in row]
+        for row in rng.standard_normal((bits, dim))
+    ]
+
+
+def hyperplane_bucket(col, planes: list[list[float]]) -> F.Column:
+    """bucket = Σ 2^i · [plane_i · x >= 0] — whole-stage-codegen'd; on a
+    stored table this column is the partition key (scan pruning)."""
+    b = F.lit(0)
+    for i, p in enumerate(planes):
+        pl = F.array(*[F.lit(v) for v in p])
+        b = b + F.when(_dot(col, pl) >= 0, F.lit(1 << i)).otherwise(0)
+    return b.cast("long")
+
+
+def _py_bucket(vec: list[float], planes: list[list[float]]) -> int:
+    b = 0
+    for i, p in enumerate(planes):
+        if sum(float(x) * v for x, v in zip(vec, p)) >= 0:
+            b |= 1 << i
+    return b
 
 
 def _dot(a, b) -> F.Column:
@@ -83,19 +124,76 @@ def cosine_topk_lsh(
     return cosine_topk_bruteforce(bucketed, query_vec, k)
 
 
+def cosine_topk_hlsh(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 20,
+    bits: int = HLSH_BITS,
+    n_tables: int = HLSH_TABLES,
+    probe_hamming: int = HLSH_PROBE_HAMMING,
+    seed: int = HLSH_SEED,
+) -> DataFrame:
+    """Approximate top-k via seeded random-hyperplane sign-LSH with
+    multi-table probing: a row survives if ANY of the ``n_tables``
+    independent tables places it within Hamming distance
+    ``probe_hamming`` of the query's bucket (bit_count(bucket XOR
+    q_bucket)).  Recall grows with tables/probe radius while each table's
+    candidate mass stays ~|corpus| / 2^bits · Σ_{i<=h} C(bits,i); the
+    whole filter is one codegen'd projection, then brute-force cosine
+    over the survivors."""
+    dim = len(query_vec)
+    cond = None
+    for t in range(n_tables):
+        planes = hyperplanes(dim, bits, seed, t)
+        qb = _py_bucket(query_vec, planes)
+        dist = F.bit_count(
+            hyperplane_bucket(F.col("embedding"), planes).bitwiseXOR(F.lit(qb))
+        )
+        c = dist <= F.lit(probe_hamming)
+        cond = c if cond is None else (cond | c)
+    return cosine_topk_bruteforce(embeddings.where(cond), query_vec, k)
+
+
 def near_dup_pairs_cosine(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    block_col: str = "label",
+    block_col: str | None = None,
+    bits: int = HLSH_BITS,
+    seed: int = HLSH_SEED,
+    max_bucket: int = NEAR_DUP_MAX_BUCKET,
 ) -> DataFrame:
-    """(vec_a, vec_b, score) with vec_a < vec_b and cosine >= threshold,
-    blocked on ``block_col`` so the self-join is per-block, not all-pairs."""
-    e = embeddings.select(
-        F.col("vec_id"),
-        F.col(block_col).alias("blk"),
-        F.col("embedding"),
-        _norm(F.col("embedding")).alias("nrm"),
-    )
+    """(vec_a, vec_b, score) with vec_a < vec_b and cosine >= threshold.
+
+    Default blocking is the seeded hyperplane-LSH bucket with a
+    ``max_bucket`` skew guard (blocks larger than the guard are dropped —
+    a degenerate boilerplate cluster would otherwise go quadratic, the
+    same guard as dedup.minhash_candidate_pairs).  Pass ``block_col`` to
+    block on a metadata column instead (e.g. the gate's ``label``), in
+    which case blocks are assumed bounded by construction."""
+    if block_col is not None:
+        blk = F.col(block_col).cast("long")
+        e = embeddings.select(
+            F.col("vec_id"),
+            blk.alias("blk"),
+            F.col("embedding"),
+            _norm(F.col("embedding")).alias("nrm"),
+        )
+    else:
+        dim = len(embeddings.select("embedding").head().embedding)
+        planes = hyperplanes(dim, bits, seed, 0)
+        e = embeddings.select(
+            F.col("vec_id"),
+            hyperplane_bucket(F.col("embedding"), planes).alias("blk"),
+            F.col("embedding"),
+            _norm(F.col("embedding")).alias("nrm"),
+        )
+        ok = (
+            e.groupBy("blk")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+            .select("blk")
+        )
+        e = e.join(ok, "blk")
     a = e.select(
         F.col("blk"),
         F.col("vec_id").alias("vec_a"),

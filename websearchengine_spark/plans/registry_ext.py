@@ -205,27 +205,55 @@ SELECT e.vec_id, {_SQL_COS} AS score
 FROM embeddings e, q
 ORDER BY score DESC, vec_id ASC LIMIT {ANN_K}"""
 
-_dims = similarity.LSH_SIGN_DIMS
-_bucket_sql = " + ".join(
-    f"(CASE WHEN embedding[{d + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
-    for i, d in enumerate(_dims)
-)
+EMB_DIM = 64  # testdata embeddings.parquet vector width
+_HL_TABLES, _HL_PROBE = 2, 1
+_ND_BITS = 4  # near-dup gate bucket width (16 buckets at sf0.01 scale)
+
+
+def _plane_bucket_sql(planes: list[list[float]]) -> str:
+    """DuckDB twin of similarity.hyperplane_bucket over the SAME rounded
+    literal planes."""
+    terms = []
+    for i, p in enumerate(planes):
+        arr = "[" + ",".join(repr(v) for v in p) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {arr}::DOUBLE[])"
+            f" >= 0 THEN {1 << i} ELSE 0 END)"
+        )
+    return " + ".join(terms)
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """Sign-LSH bucketed ANN: scan only the query's bucket (partition-
-    pruned on a stored table) — the scale path for 100 TB embeddings."""
-    return similarity.cosine_topk_lsh(
-        _emb(spark, sf_dir), _query_vec(spark, sf_dir), ANN_K
+    """Seeded random-hyperplane sign-LSH ANN with multi-table Hamming-1
+    probing (similarity.cosine_topk_hlsh): a row survives if any table
+    puts it within 1 bit of the query's bucket; brute-force cosine over
+    survivors.  On a stored table bucketed by table-0's bucket this scan
+    prunes like the postings term-bucket — the scale path for 100 TB
+    embeddings."""
+    return similarity.cosine_topk_hlsh(
+        _emb(spark, sf_dir),
+        _query_vec(spark, sf_dir),
+        ANN_K,
+        n_tables=_HL_TABLES,
+        probe_hamming=_HL_PROBE,
     )
 
 
+_t0_sql = _plane_bucket_sql(
+    similarity.hyperplanes(EMB_DIM, similarity.HLSH_BITS, similarity.HLSH_SEED, 0)
+)
+_t1_sql = _plane_bucket_sql(
+    similarity.hyperplanes(EMB_DIM, similarity.HLSH_BITS, similarity.HLSH_SEED, 1)
+)
+
 SQL_ANN_LSH_TOPK = f"""WITH b AS (
-  SELECT *, {_bucket_sql} AS bucket FROM embeddings
+  SELECT *, {_t0_sql} AS b0, {_t1_sql} AS b1 FROM embeddings
 ),
-q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+q AS (SELECT embedding AS qv, b0 AS q0, b1 AS q1 FROM b WHERE vec_id = 0)
 SELECT e.vec_id, {_SQL_COS} AS score
-FROM b e, q WHERE e.bucket = q.qb
+FROM b e, q
+WHERE bit_count(xor(e.b0, q.q0)) <= {_HL_PROBE}
+   OR bit_count(xor(e.b1, q.q1)) <= {_HL_PROBE}
 ORDER BY score DESC, vec_id ASC LIMIT {ANN_K}"""
 
 
@@ -234,6 +262,34 @@ def q_near_dup_cosine(spark, sf_dir):
     return similarity.near_dup_pairs_cosine(
         _emb(spark, sf_dir), NEAR_DUP_T, "label"
     )
+
+
+def q_near_dup_lsh(spark, sf_dir):
+    """Near-dup pairs with the engine's DEFAULT blocking: seeded
+    hyperplane-LSH bucket + max_bucket skew guard (never all-pairs, never
+    quadratic in a hot block — the 100 TB-safe variant of
+    near_dup_cosine)."""
+    return similarity.near_dup_pairs_cosine(
+        _emb(spark, sf_dir), NEAR_DUP_T, None, bits=_ND_BITS
+    )
+
+
+_nd_bucket_sql = _plane_bucket_sql(
+    similarity.hyperplanes(EMB_DIM, _ND_BITS, similarity.HLSH_SEED, 0)
+)
+
+SQL_NEAR_DUP_LSH = f"""WITH e0 AS (
+  SELECT vec_id, {_nd_bucket_sql} AS blk, embedding::DOUBLE[] AS emb,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+ok AS (SELECT blk FROM e0 GROUP BY blk
+       HAVING count(*) >= 2 AND count(*) <= {similarity.NEAR_DUP_MAX_BUCKET}),
+e AS (SELECT e0.* FROM e0 JOIN ok USING (blk))
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS score
+FROM e a JOIN e b ON a.blk = b.blk AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) >= {NEAR_DUP_T}"""
 
 
 SQL_NEAR_DUP_COSINE = f"""WITH e AS (
@@ -593,6 +649,7 @@ EXT_REGISTRY = {
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
     "near_dup_cosine": (q_near_dup_cosine, SQL_NEAR_DUP_COSINE),
+    "near_dup_lsh": (q_near_dup_lsh, SQL_NEAR_DUP_LSH),
     "pagerank_synth": (q_pagerank_synth, SQL_PAGERANK_SYNTH),
     "top_terms_prf": (q_top_terms_prf, SQL_TOP_TERMS_PRF),
     "spearman_rank": (q_spearman_rank, SQL_SPEARMAN_RANK),
