@@ -46,6 +46,8 @@ HEADLINE = [
     "simhash_fp",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "near_dup_lsh",
+    "fullscan_topk",
     "lang_id",
     "quality_score",
     "pagerank_synth",

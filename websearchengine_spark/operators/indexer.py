@@ -464,19 +464,26 @@ def decode_segments(segments: DataFrame, with_positions: bool = False) -> DataFr
         for bdf in batches:
             out = {"term": [], "doc_id": [], "tf": [], "dl": []}
             pos_col = [] if with_positions else None
-            for _, row in bdf.iterrows():
-                doc_ids = codec.delta_decode(
-                    codec.decode_varints(row["doc_gap_bytes"])
-                )
-                tfs = codec.decode_varints(row["tf_bytes"])
-                dls = codec.decode_varints(row["dl_bytes"])
-                out["term"].extend([row["term"]] * len(doc_ids))
+            # zip over column arrays, not iterrows(): one Python iteration
+            # per 128-posting segment row, without pandas row-object
+            # construction in the hottest decode path
+            pos_bytes_col = (
+                bdf["pos_bytes"] if with_positions else [None] * len(bdf)
+            )
+            for term, gaps, tfb, dlb, posb in zip(
+                bdf["term"], bdf["doc_gap_bytes"], bdf["tf_bytes"],
+                bdf["dl_bytes"], pos_bytes_col,
+            ):
+                doc_ids = codec.delta_decode(codec.decode_varints(gaps))
+                tfs = codec.decode_varints(tfb)
+                dls = codec.decode_varints(dlb)
+                out["term"].extend([term] * len(doc_ids))
                 out["doc_id"].extend(doc_ids.tolist())
                 out["tf"].extend(tfs.tolist())
                 out["dl"].extend(dls.tolist())
                 if with_positions:
                     pos_col.extend(
-                        [p.tolist() for p in codec.decode_positions(row["pos_bytes"], tfs)]
+                        [p.tolist() for p in codec.decode_positions(posb, tfs)]
                     )
             pdf = pd.DataFrame(
                 {

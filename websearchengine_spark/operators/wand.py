@@ -67,25 +67,28 @@ def _decode_score_udf(idfs: dict[str, float], avgdl: float, theta: float):
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for bdf in batches:
             docs_out, part_out, term_out = [], [], []
-            for _, row in bdf.iterrows():
-                idf = idfs[row["term"]]
-                block_ub = idf * (k1 + 1.0) * row["block_max_weight"]
+            # zip over column arrays (one iteration per 128-posting block;
+            # no pandas row objects in the hot decode path)
+            for term, bmw, residual, gaps, tfb, dlb in zip(
+                bdf["term"], bdf["block_max_weight"], bdf["residual"],
+                bdf["doc_gap_bytes"], bdf["tf_bytes"], bdf["dl_bytes"],
+            ):
+                idf = idfs[term]
+                block_ub = idf * (k1 + 1.0) * bmw
                 # conservative per-block skip: this block's best possible
                 # total = its own ub + best the OTHER terms can add in the
                 # chunk (residual precomputed relationally)
-                if block_ub + row["residual"] < theta:
+                if block_ub + residual < theta:
                     continue
-                doc_ids = codec.delta_decode(
-                    codec.decode_varints(row["doc_gap_bytes"])
-                )
-                tfs = codec.decode_varints(row["tf_bytes"]).astype(np.float64)
-                dls = codec.decode_varints(row["dl_bytes"]).astype(np.float64)
+                doc_ids = codec.delta_decode(codec.decode_varints(gaps))
+                tfs = codec.decode_varints(tfb).astype(np.float64)
+                dls = codec.decode_varints(dlb).astype(np.float64)
                 w = idf * (k1 + 1.0) * tfs / (
                     tfs + k1 * (1.0 - b + b * dls / avgdl)
                 )
                 docs_out.extend(doc_ids.tolist())
                 part_out.extend(w.tolist())
-                term_out.extend([row["term"]] * len(doc_ids))
+                term_out.extend([term] * len(doc_ids))
             yield pd.DataFrame(
                 {
                     "doc_id": pd.array(docs_out, dtype="int64"),
