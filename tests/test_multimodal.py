@@ -1,25 +1,104 @@
-"""Multimodal plumbing tests: schema, batch shape, determinism of the
-stubbed decode, and shuffle-free fan-out."""
+"""Multimodal: REAL decoders (BMP / netpbm / PCM WAV / YUV4MPEG2) proved
+against independently-written encoders, honest NotImplementedError for
+compressed codecs, plus the Spark plumbing (schema, fan-out, determinism).
+"""
 
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pytest
 
+from websearchengine_spark.operators import multimodal as M
+
 
 @pytest.fixture(scope="module")
 def media(spark):
-    from websearchengine_spark.operators import multimodal
+    return M.synth_media_df(spark, 24).cache()
 
-    return multimodal.synth_media_df(spark, 24).cache()
+
+# --------------------------------------------------------------------------
+# decoder correctness vs known pixels/samples
+# --------------------------------------------------------------------------
+
+
+def test_bmp_roundtrip_exact():
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    got = M.decode_image(M.encode_bmp(px))
+    assert got.shape == (5, 7, 3)
+    assert np.array_equal((got * 255.0).round().astype(np.uint8), px)
+
+
+def test_ppm_and_pgm_decode():
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    ppm = b"P6\n# comment\n3 2\n255\n" + px.tobytes()
+    got = M.decode_image(ppm)
+    assert np.array_equal((got * 255.0).round().astype(np.uint8), px)
+    gray = np.array([[0, 128], [255, 64]], dtype=np.uint8)
+    pgm = b"P5\n2 2\n255\n" + gray.tobytes()
+    g = M.decode_image(pgm)
+    assert g.shape == (2, 2, 3)
+    assert np.array_equal((g[..., 0] * 255.0).round().astype(np.uint8), gray)
+    assert np.array_equal(g[..., 0], g[..., 2])  # replicated channels
+
+
+def test_wav_roundtrip():
+    t = np.arange(400) / 8000.0
+    wave = 0.25 * np.sin(2 * np.pi * 440 * t)
+    samples, rate = M.decode_audio(M.encode_wav(wave, 8000))
+    assert rate == 8000 and samples.shape == (400, 1)
+    assert np.allclose(samples[:, 0], wave, atol=1.5 / 32767)
+
+
+def test_y4m_frame_sampling():
+    frames = [np.full((4, 6), v, dtype=np.uint8) for v in (0, 60, 120, 180, 240)]
+    blob = M.encode_y4m(frames, 6, 4)
+    got = M.y4m_frames(blob, 3)  # evenly spaced -> frames 0, 2, 4
+    assert len(got) == 3
+    for f, v in zip(got, (0, 120, 240)):
+        assert f.shape == (4, 6, 3)
+        assert np.allclose(f, v / 255.0)
+
+
+def test_resize_nearest():
+    px = np.array([[[0.0] * 3, [1.0] * 3]] * 2)  # 2x2, left black right white
+    up = M.resize_image(px, 4, 4)
+    assert up.shape == (4, 4, 3)
+    assert np.all(up[:, :2] == 0.0) and np.all(up[:, 2:] == 1.0)
+
+
+def test_compressed_codecs_raise():
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)  # JPEG
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
+    with pytest.raises(NotImplementedError):
+        M.decode_audio(b"ID3\x04" + b"\x00" * 32)  # MP3
+    with pytest.raises(ValueError):
+        M.decode_image(b"")
+    with pytest.raises(ValueError):
+        M.decode_image(b"????not a container")
+
+
+def test_bmp_unsupported_depth_raises():
+    # 8bpp header
+    hdr = struct.pack("<2sIHHI", b"BM", 100, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, 16, 0, 0, 0, 0
+    ) + b"\x00" * 64
+    with pytest.raises(NotImplementedError):
+        M.decode_image(hdr)
+
+
+# --------------------------------------------------------------------------
+# Spark plumbing
+# --------------------------------------------------------------------------
 
 
 def test_feature_schema_and_determinism(spark, media):
-    from websearchengine_spark.operators import multimodal
-
-    out = multimodal.extract_features(media)
+    out = M.extract_features(media)
     assert [f.name for f in out.schema.fields] == [
         "media_id", "kind", "blob_bytes", "content_hash", "feature",
     ]
@@ -27,33 +106,39 @@ def test_feature_schema_and_determinism(spark, media):
     assert len(rows) == 24
     src = {r.media_id: bytes(r.blob) for r in media.collect()}
     for mid, r in rows.items():
-        assert len(r.feature) == multimodal.FEATURE_DIM
+        assert len(r.feature) == M.FEATURE_DIM
         assert r.blob_bytes == len(src[mid])
         assert r.content_hash == hashlib.md5(src[mid]).hexdigest()
-    # rerun -> identical features (stub decode is deterministic)
-    again = {r.media_id: r.feature for r in multimodal.extract_features(media).collect()}
+        assert np.isfinite(r.feature).all()
+    # rerun -> identical features (real decode of fixed bytes)
+    again = {r.media_id: r.feature for r in M.extract_features(media).collect()}
     for mid in rows:
         assert np.allclose(rows[mid].feature, again[mid])
 
 
-def test_frame_sampling_fanout(spark, media):
-    from websearchengine_spark.operators import multimodal
+def test_image_features_reflect_pixels(spark, media):
+    """Feature vector is real pixel statistics: a known all-white BMP maps
+    to all-1.0 grid means."""
+    white = M.encode_bmp(np.full((4, 4, 3), 255, dtype=np.uint8))
+    df = spark.createDataFrame(
+        [(99, "image", "image/bmp", white, 4, 4, None)], M.MEDIA_SCHEMA
+    )
+    r = M.extract_features(df).head()
+    feat = np.array(r.feature)
+    assert np.allclose(feat[:12], 1.0)       # 2x2 grid x RGB means
+    assert feat[12] == pytest.approx(1.0)     # global mean
+    assert feat[13] == pytest.approx(0.0)     # global std
 
+
+def test_frame_sampling_fanout(spark, media):
     vids = media.where(media.kind == "video")
     n_vids = vids.count()
-    frames = multimodal.sample_frames(vids, n_frames=4)
+    frames = M.sample_frames(vids, n_frames=4)
     rows = frames.collect()
     assert len(rows) == n_vids * 4
     per = {}
     for r in rows:
         per.setdefault(r.media_id, []).append(r.frame_no)
-        assert len(r.frame_feature) == multimodal.FEATURE_DIM
+        assert len(r.frame_feature) == M.FEATURE_DIM
     for nos in per.values():
         assert sorted(nos) == [0, 1, 2, 3]
-
-
-def test_empty_blob_raises(spark):
-    from websearchengine_spark.operators import multimodal
-
-    with pytest.raises(ValueError):
-        multimodal._decode_image_stub(b"")
