@@ -112,3 +112,25 @@ def test_linear_blend_parity(spark, spark_index, small_corpus, query):
     assert [r.doc_id for r in got] == [d for d, _ in want]
     for r, (_, s) in zip(got, want):
         assert r.score == pytest.approx(s, rel=1e-9)
+
+
+@pytest.mark.parametrize("query", ["web search", "data mining", "google"])
+def test_bm25_stats_dict_fast_path_parity(spark, spark_index, query):
+    """The serve fast-path (driver-side {term: df} dict -> literal-map
+    idf, zero joins) must score identically to the self-derived-stats
+    plan — and its physical plan must contain no join at all."""
+    from websearchengine_spark.operators import indexer, query as Q, score as S
+
+    postings = spark_index["postings"]
+    n, avgdl = spark_index["num_docs"], spark_index["avgdl"]
+    tokens, words, _ = Q.split_tokens(query)
+    tp = Q.word_token_postings(postings, words)
+    base = S.topk(S.bm25_scores(tp, tokens, n, avgdl), 10).collect()
+    stats_map = {r.term: r.df for r in indexer.term_stats(postings).collect()}
+    fast_df = S.topk(S.bm25_scores(tp, tokens, n, avgdl, "conjunctive", stats_map), 10)
+    fast = fast_df.collect()
+    assert [(r.doc_id, round(r.score, 9)) for r in base] == [
+        (r.doc_id, round(r.score, 9)) for r in fast
+    ]
+    plan = fast_df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan

@@ -43,18 +43,55 @@ def bm25_scores(
     num_docs: int,
     avgdl: float,
     mode: str = "conjunctive",
-    term_stats: DataFrame | None = None,
+    term_stats: DataFrame | dict | None = None,
 ) -> DataFrame:
     """(doc_id, score) — BM25 summed over query tokens (×multiplicity).
 
     Conjunctive filters to docs holding ALL distinct tokens; disjunctive
     scores any match.  df per token comes from the pruned relation itself
     (correct for phrases too) — or, serve-mode, from a precomputed
-    ``term_stats(term, df, ...)`` table (an index-time artifact,
-    indexer.term_stats), which removes the per-query stats aggregation;
-    only valid when every token is a single word."""
+    ``term_stats`` artifact: either the (term, df, ...) DataFrame
+    (indexer.term_stats; a broadcast join — the path that scales to
+    arbitrary vocabularies) or a driver-side ``{term: df}`` dict (the
+    reference's in-memory stats maps), which compiles idf and query
+    multiplicity into LITERAL maps — zero joins, one job per query, the
+    lowest-latency plan.  Only valid when every token is a single word."""
+    import math
+
     spark = tok_postings.sparkSession
     n_distinct = len(set(tokens))
+    k_term = (
+        F.col("tf")
+        * F.lit(BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(BM25_K1)
+            * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.lit(avgdl))
+        )
+    )
+    if isinstance(term_stats, dict):
+        # serve fast-path: per-token qcount·idf folded into one literal map
+        counts = Counter(tokens)
+        wmap = {}
+        for t, qn in counts.items():
+            df = term_stats.get(t, 0)
+            if df <= 0:
+                continue
+            wmap[t] = qn * math.log(
+                1.0 + (num_docs - df + 0.5) / (df + 0.5)
+            )
+        if not wmap:
+            return spark.createDataFrame([], "doc_id long, score double")
+        lit_w = F.create_map(
+            *[x for t, v in wmap.items() for x in (F.lit(t), F.lit(v))]
+        )[F.col("token")]
+        scored = tok_postings.groupBy("doc_id").agg(
+            F.sum(lit_w * k_term).alias("score"),
+            F.count_distinct("token").alias("n_hit"),
+        )
+        if mode == "conjunctive":
+            scored = scored.where(F.col("n_hit") == n_distinct)
+        return scored.select("doc_id", "score")
     if term_stats is not None:
         stats = term_stats.where(F.col("term").isin(tokens)).select(
             F.col("term").alias("token"), "df"
@@ -67,17 +104,7 @@ def bm25_scores(
         + (F.lit(float(num_docs)) - F.col("df") + F.lit(0.5))
         / (F.col("df") + F.lit(0.5))
     )
-    w = (
-        F.col("qcount")
-        * idf
-        * F.col("tf")
-        * F.lit(BM25_K1 + 1.0)
-        / (
-            F.col("tf")
-            + F.lit(BM25_K1)
-            * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.lit(avgdl))
-        )
-    )
+    w = F.col("qcount") * idf * k_term
     scored = (
         tok_postings.join(F.broadcast(stats), "token")
         .join(F.broadcast(qc), "token")

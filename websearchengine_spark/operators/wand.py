@@ -134,18 +134,27 @@ def bm25_topk_segments(
     probe_chunks: int = 2,
     prune: bool = True,
     stats: dict | None = None,
+    term_df: dict[str, int] | None = None,
 ) -> DataFrame:
     """(doc_id, score) top-k BM25 from compressed segments with block-max
     chunk/block pruning.  ``stats`` (optional dict) receives
-    {n_chunks, probed, survivors, theta} for observability/tests."""
+    {n_chunks, probed, survivors, theta} for observability/tests.
+    ``term_df`` (optional) supplies precomputed {term: df} serve-mode
+    stats (the reference's in-memory maps), skipping the per-query
+    metadata aggregation job."""
     terms = sorted(set(query_terms))
     segs = segments.where(F.col("term").isin(terms))
 
     # --- metadata pass (Parquet reads only the narrow columns) ---
-    term_df = {
-        r.term: r.df
-        for r in segs.groupBy("term").agg(F.sum("n_docs").alias("df")).collect()
-    }
+    if term_df is not None:
+        term_df = {t: term_df[t] for t in terms if term_df.get(t, 0) > 0}
+    else:
+        term_df = {
+            r.term: r.df
+            for r in segs.groupBy("term")
+            .agg(F.sum("n_docs").alias("df"))
+            .collect()
+        }
     if not term_df:
         return segments.sparkSession.createDataFrame(
             [], "doc_id long, score double"
