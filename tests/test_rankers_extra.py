@@ -134,3 +134,33 @@ def test_bm25_stats_dict_fast_path_parity(spark, spark_index, query):
     ]
     plan = fast_df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+@pytest.mark.parametrize("query", ["web search", "data mining"])
+def test_ql_ctf_dict_fast_path_parity(spark, spark_index, query):
+    """QL serve fast-path ({term: ctf} dict -> literal prior map, zero
+    joins) must match the self-derived-stats plan exactly."""
+    from websearchengine_spark.operators import indexer, query as Q, score as S
+
+    postings = spark_index["postings"]
+    tot = spark_index["total_terms"]
+    tokens, words, _ = Q.split_tokens(query)
+    tp = Q.word_token_postings(postings, words)
+    base = S.topk(S.ql_scores(tp, tokens, tot), 10).collect()
+    ctf_map = {r.term: r.ctf for r in indexer.term_stats(postings).collect()}
+    fast_df = S.topk(S.ql_scores(tp, tokens, tot, ctf_map), 10)
+    fast = fast_df.collect()
+    assert [(r.doc_id, round(r.score, 15)) for r in base] == [
+        (r.doc_id, round(r.score, 15)) for r in fast
+    ]
+    plan = fast_df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_ql_fast_path_absent_token_empty(spark, spark_index):
+    from websearchengine_spark.operators import query as Q, score as S
+
+    postings = spark_index["postings"]
+    tp = Q.word_token_postings(postings, ["zzzznotaterm"])
+    out = S.ql_scores(tp, ["zzzznotaterm"], spark_index["total_terms"], {})
+    assert out.count() == 0

@@ -123,16 +123,47 @@ def ql_scores(
     tok_postings: DataFrame,
     tokens: list[str],
     total_terms: int,
+    term_ctf: dict | None = None,
 ) -> DataFrame:
     """(doc_id, score) — reference QL over CONJUNCTIVE matches:
     score = Π_tokens [(1-β)·tf/dl + β·ctf/|C|], |C| int-truncated
     (RankerComprehensive.java:43-53).  Product via exp(Σ qcount·ln(term))
-    — every factor > 0 on conjunctive matches."""
+    — every factor > 0 on conjunctive matches.
+
+    ``term_ctf`` (optional {term: ctf} dict — serve mode, the
+    reference's in-memory stats): the collection prior compiles into a
+    literal map, removing both broadcast joins (zero-join single-job
+    plan, same as the bm25_scores fast path)."""
     spark = tok_postings.sparkSession
     n_distinct = len(set(tokens))
+    c = int(total_terms)
+    if term_ctf is not None:
+        counts = Counter(tokens)
+        if any(term_ctf.get(t, 0) <= 0 for t in counts):
+            # a token absent from the corpus zeroes every product
+            return spark.createDataFrame([], "doc_id long, score double")
+        qn_map = F.create_map(
+            *[x for t, n in counts.items() for x in (F.lit(t), F.lit(float(n)))]
+        )[F.col("token")]
+        prior_map = F.create_map(
+            *[
+                x
+                for t, n in counts.items()
+                for x in (F.lit(t), F.lit(QL_BETA * term_ctf[t] / float(c)))
+            ]
+        )[F.col("token")]
+        factor = F.lit(1.0 - QL_BETA) * F.col("tf") / F.col("dl") + prior_map
+        return (
+            tok_postings.groupBy("doc_id")
+            .agg(
+                F.exp(F.sum(qn_map * F.log(factor))).alias("score"),
+                F.count_distinct("token").alias("n_hit"),
+            )
+            .where(F.col("n_hit") == n_distinct)
+            .select("doc_id", "score")
+        )
     stats = Q.token_stats(tok_postings)
     qc = _qcount_df(spark, tokens)
-    c = int(total_terms)
     factor = (
         F.lit(1.0 - QL_BETA) * F.col("tf") / F.col("dl")
         + F.lit(QL_BETA) * F.col("ctf") / F.lit(float(c))
