@@ -68,6 +68,13 @@ def cmd_build(args) -> None:
     ids.select("doc_id", F.col("url").alias("title")).write.mode(
         "overwrite"
     ).parquet(os.path.join(args.out, "docs"))
+    # term-stats sidecar (df/ctf from segment metadata, no re-tokenize):
+    # the serve analogue of the reference's in-memory stats maps
+    segs = cp.segments(spark)
+    segs.groupBy("term").agg(
+        F.sum("n_docs").cast("long").alias("df"),
+        F.sum("sum_tf").cast("long").alias("ctf"),
+    ).write.mode("overwrite").parquet(os.path.join(args.out, "term_stats"))
     # exact corpus stats come free from the per-partition lineage manifest
     # — no second tokenization pass
     lineage = cp.lineage()
@@ -116,6 +123,16 @@ def cmd_query(args) -> None:
             mode=args.mode,
         )
     else:
+        # serve fast path: the term-stats sidecar collects into the
+        # in-memory {term: df} map (bounded by vocabulary; a deployment
+        # with an unbounded vocab skips the sidecar and keeps the
+        # distributed metadata aggregation)
+        term_df = None
+        ts_path = os.path.join(args.index, "term_stats")
+        if os.path.exists(ts_path):
+            term_df = {
+                r.term: r.df for r in spark.read.parquet(ts_path).collect()
+            }
         out = wand.bm25_topk_segments(
             segs,
             words,
@@ -123,6 +140,7 @@ def cmd_query(args) -> None:
             avgdl=stats["avgdl"],
             k=args.k,
             mode=args.mode,
+            term_df=term_df,
         )
     # hw1 result format: query \t docid \t title \t score
     # (ScoredDocument.java:15-18 asString); title from the docs sidecar
