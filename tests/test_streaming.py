@@ -97,3 +97,67 @@ def test_incremental_index_stream_builds_manifest(spark, tmp_path):
 
     decoded = indexer.decode_segments(segs)
     assert decoded.where(F.col("tf") <= 0).count() == 0
+
+
+def test_ctr_state_stream_equals_batch_fold(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): CTR state must
+    evolve across MULTIPLE micro-batches exactly like the batch ordered
+    fold (and like a pure-Python sequential replay)."""
+    from websearchengine_spark.operators import ads
+    from websearchengine_spark.streaming import stream
+
+    # deterministic impressions over 2 keys, written as 3 time-ordered
+    # files so maxFilesPerTrigger=1 yields 3 micro-batches
+    rows = []
+    eid = 0
+    for t in range(30):
+        key = ("web", "acme_1") if t % 3 else ("data", "hooli_2")
+        rows.append((key[0], key[1], t % 4 != 0, t * 10.0, eid))
+        eid += 1
+    src = str(tmp_path / "imps")
+    schema = (
+        "keyword string, ad_key string, clicked boolean, ts double, "
+        "event_id long"
+    )
+    for part in range(3):
+        spark.createDataFrame(rows[part * 10 : part * 10 + 10], schema)\
+            .coalesce(1).write.mode("append").parquet(src)
+
+    stream_df = stream.ctr_state_stream(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("ctr_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last emitted row per key = final state
+    out = spark.sql(
+        "SELECT keyword, ad_key, ctr, n_impressions FROM ctr_stream"
+    ).collect()
+    final = {}
+    for r in out:  # memory sink appends update rows in emit order
+        final[(r.keyword, r.ad_key)] = (r.ctr, r.n_impressions)
+
+    batch = {
+        (r.keyword, r.ad_key): (r.ctr, r.n_impressions)
+        for r in ads.ctr_fold(spark.read.parquet(src)).collect()
+    }
+    # pure-Python sequential replay (the reference's serve loop)
+    want = {}
+    for kw, ak, clicked, ts, _ in sorted(rows, key=lambda x: (x[3], x[4])):
+        ctr, n = want.get((kw, ak), (0.1, 0))
+        ctr = min(1.0, ctr + ctr / 10 if clicked else ctr - ctr / 10)
+        want[(kw, ak)] = (ctr, n + 1)
+
+    assert set(final) == set(want) == set(batch)
+    for k in want:
+        assert final[k][0] == pytest.approx(want[k][0], rel=1e-12), k
+        assert batch[k][0] == pytest.approx(want[k][0], rel=1e-12), k
+        assert final[k][1] == want[k][1] == batch[k][1]

@@ -251,6 +251,42 @@ def rank_ads(
     return agg.orderBy(F.desc("score"), F.asc("ad_key")).limit(k)
 
 
+def ctr_fold(impressions: DataFrame, prior: float = DEFAULT_CTR) -> DataFrame:
+    """R11 sequential form — the reference updates CTR impression by
+    impression during serving (AdsRanker.java:345-377 + the
+    QueryHandler click loop), so the batch replay is an ORDERED fold per
+    (keyword, ad_key): ctr_{i} = min(1.0, ctr_{i-1} ± ctr_{i-1}/10),
+    starting from the 0.1 prior, impressions ordered by (ts, event_id).
+
+    One groupBy + Arrow-batched applyInPandas; state per key is a single
+    double, so the shuffle moves only (key, ts, clicked) rows.  The
+    streaming twin (same math, live state) is
+    streaming.stream.ctr_state_stream."""
+    import pandas as pd
+
+    out_schema = (
+        "keyword string, ad_key string, ctr double, n_impressions long"
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        ctr = prior
+        for clicked in pdf["clicked"]:
+            ctr = min(1.0, ctr + ctr / 10 if clicked else ctr - ctr / 10)
+        return pd.DataFrame(
+            {
+                "keyword": [pdf["keyword"].iloc[0]],
+                "ad_key": [pdf["ad_key"].iloc[0]],
+                "ctr": [ctr],
+                "n_impressions": [len(pdf)],
+            }
+        )
+
+    return impressions.groupBy("keyword", "ad_key").applyInPandas(
+        fold, out_schema
+    )
+
+
 def ctr_update(ctr: DataFrame, impressions: DataFrame) -> DataFrame:
     """R11 — impressions (keyword, ad_key, clicked bool); new ctr =
     clamp(ctr ± ctr/10, <= 1.0).  Rows without an impression pass through

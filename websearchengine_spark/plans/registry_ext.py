@@ -477,6 +477,47 @@ SELECT user_id, session_id, count(*)::BIGINT AS n_events,
 FROM y GROUP BY 1, 2"""
 
 
+def q_ctr_fold(spark, sf_dir):
+    """R11 sequential CTR replay as an ordered per-key fold (the
+    reference updates serving CTR impression-by-impression;
+    AdsRanker.java:345-377).  Impressions derived from the events table:
+    keyword = event_type, ad_key = user_id, clicked = value > 0, event
+    order = (ts, event_id)."""
+    from websearchengine_spark.operators import ads
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    imps = e.select(
+        F.col("event_type").alias("keyword"),
+        F.col("user_id").cast("string").alias("ad_key"),
+        (F.col("value") > 0).alias("clicked"),
+        "ts",
+        "event_id",
+    )
+    out = ads.ctr_fold(imps)
+    return out.select(
+        "keyword", "ad_key", F.round("ctr", 9).alias("ctr"), "n_impressions"
+    )
+
+
+SQL_CTR_FOLD = """WITH imp AS (
+  SELECT event_type AS keyword, user_id::VARCHAR AS ad_key,
+         CASE WHEN value > 0 THEN 1.0 ELSE 0.0 END AS flag, ts, event_id
+  FROM events
+),
+g AS (
+  SELECT keyword, ad_key,
+         list_prepend(0.1::DOUBLE, list(flag ORDER BY ts, event_id)) AS chain,
+         count(*)::BIGINT AS n_impressions
+  FROM imp GROUP BY 1, 2
+)
+SELECT keyword, ad_key,
+       round(list_reduce(chain, (acc, x) ->
+             least(1.0, CASE WHEN x > 0.5
+                             THEN acc + acc/10 ELSE acc - acc/10 END)), 9) AS ctr,
+       n_impressions
+FROM g"""
+
+
 def q_wand_bm25_topk(spark, sf_dir):
     """End-to-end segment path under the SQL oracle: gate postings ->
     compressed block-max segments -> WAND-pruned top-10 BM25 — must equal
@@ -655,6 +696,7 @@ EXT_REGISTRY = {
     "spearman_rank": (q_spearman_rank, SQL_SPEARMAN_RANK),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
+    "ctr_fold": (q_ctr_fold, SQL_CTR_FOLD),
     "eval_metrics": (q_eval_metrics, SQL_EVAL_METRICS),
     "wand_bm25_topk": (q_wand_bm25_topk, SQL_WAND_BM25_TOPK),
 }

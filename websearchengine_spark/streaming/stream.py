@@ -80,6 +80,54 @@ def session_windows(
     )
 
 
+CTR_OUT_SCHEMA = (
+    "keyword string, ad_key string, ctr double, n_impressions long"
+)
+CTR_STATE_SCHEMA = "ctr double, n long"
+
+
+def ctr_state_stream(impressions: DataFrame, prior: float = 0.1) -> DataFrame:
+    """R11 as a CUSTOM STATEFUL streaming operator
+    (``applyInPandasWithState``): per-(keyword, ad_key) state carries the
+    evolving CTR across micro-batches; within a batch impressions apply
+    the reference's sequential update — ctr = min(1.0, ctr ± ctr/10),
+    0.1 prior for unseen keys (AdsRanker.java:345-377,
+    QueryHandler.java:236-257) — in (ts, event_id) event order.  Emits
+    the key's post-batch CTR each time it changes (update mode).
+
+    State is two scalars per live (keyword, ad_key), so memory is bounded
+    by the active ad-keyword universe, not the impression volume.  The
+    batch replay twin (same math over a static table) is
+    operators/ads.ctr_fold; stream == batch is a test gate."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        ctr, n = (state.get if state.exists else (prior, 0))
+        rows = pd.concat(list(pdfs))
+        rows = rows.sort_values(["ts", "event_id"])
+        for clicked in rows["clicked"]:
+            ctr = min(1.0, ctr + ctr / 10 if clicked else ctr - ctr / 10)
+            n += 1
+        state.update((float(ctr), int(n)))
+        yield pd.DataFrame(
+            {
+                "keyword": [key[0]],
+                "ad_key": [key[1]],
+                "ctr": [ctr],
+                "n_impressions": [n],
+            }
+        )
+
+    return impressions.groupBy("keyword", "ad_key").applyInPandasWithState(
+        fn,
+        CTR_OUT_SCHEMA,
+        CTR_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def incremental_index_query(
     corpus_stream: DataFrame,
     out_dir: str,
