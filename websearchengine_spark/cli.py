@@ -109,11 +109,20 @@ def cmd_query(args) -> None:
     segs = cp.segments(spark)
     tokens, words, phrases = Q.split_tokens(args.q)
     if phrases:
-        # phrase tokens need positions: decode the phrase words' segments
-        # and run the postings-path ranker
+        # phrase tokens need positions: decode ONLY the query terms'
+        # segments (the isin filter must sit BELOW the decode UDF —
+        # Catalyst cannot push a predicate through mapInPandas, so
+        # filtering after decode would decompress the whole index)
+        from pyspark.sql import functions as F
+
         from websearchengine_spark.operators import indexer, score
 
-        postings = indexer.decode_segments(segs, with_positions=True)
+        needed = sorted(
+            set(words) | {w for p in phrases for w in p.split()}
+        )
+        postings = indexer.decode_segments(
+            segs.where(F.col("term").isin(needed)), with_positions=True
+        )
         out = score.rank_bm25(
             postings,
             args.q,
