@@ -170,21 +170,27 @@ _JSOUP_PRESERVE_WS = frozenset(["plaintext", "pre", "textarea", "title"])
 _JSOUP_WS = frozenset(" \t\n\f\r")
 
 
-def _append_normalised(accum: list, text: str, strip_leading: bool) -> None:
+_WS_RUN = re.compile(r"[ \t\n\f\r]+")
+
+
+def _normalise_ws(text: str, strip_leading: bool) -> str:
     """StringUtil.appendNormalisedWhitespace: collapse jsoup-whitespace runs
-    to one space; drop the leading run iff ``strip_leading``."""
-    last_white = False
-    reached_non_white = False
-    for ch in text:
-        if ch in _JSOUP_WS:
-            if (strip_leading and not reached_non_white) or last_white:
-                continue
-            accum.append(" ")
-            last_white = True
-        else:
-            accum.append(ch)
-            last_white = False
-            reached_non_white = True
+    to one space; drop the leading run iff ``strip_leading``.  Span-based
+    (regex split) — equivalent to the char loop, ~10x faster."""
+    if not text:
+        return ""
+    parts = _WS_RUN.split(text)
+    lead = ""
+    if parts and parts[0] == "":
+        parts = parts[1:]
+        if not strip_leading:
+            # jsoup appends one space for a leading run UNLESS the text is
+            # all-whitespace AND stripLeading... all-ws with keep-lead still
+            # appends exactly one space (handled below: parts == [""]).
+            lead = " "
+    if parts == [""]:
+        return lead  # text was all whitespace
+    return lead + " ".join(parts)
 
 
 class _JsoupBodyText(HTMLParser):
@@ -206,10 +212,16 @@ class _JsoupBodyText(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.accum: list = []
+        self.last = ""  # last appended char ('' until anything lands)
         self.stack: list = []
         self.in_head = False
         self.in_body = False
         self.skip_data = 0  # script/style nesting
+
+    def _emit(self, s: str) -> None:
+        if s:
+            self.accum.append(s)
+            self.last = s[-1]
 
     def _element_head(self, tag: str) -> None:
         if tag == "head":
@@ -222,11 +234,11 @@ class _JsoupBodyText(HTMLParser):
             self.in_body = True
         if (
             self.in_body
-            and self.accum
+            and self.last != ""
             and (tag in _JSOUP_BLOCK or tag == "br")
-            and self.accum[-1] != " "
+            and self.last != " "
         ):
-            self.accum.append(" ")
+            self._emit(" ")
 
     def handle_starttag(self, tag: str, attrs) -> None:
         self._element_head(tag)
@@ -258,11 +270,9 @@ class _JsoupBodyText(HTMLParser):
                 return  # inter-head whitespace never lands in body
         parent = self.stack[-1] if self.stack else ""
         if parent in _JSOUP_PRESERVE_WS:
-            self.accum.append(data)
+            self._emit(data)
         else:
-            _append_normalised(
-                self.accum, data, bool(self.accum) and self.accum[-1] == " "
-            )
+            self._emit(_normalise_ws(data, self.last == " "))
 
 
 _JAVA_TRIM = "".join(chr(c) for c in range(0x21))
