@@ -132,6 +132,29 @@ def main() -> None:
     times["index_build"] = round(build_sec, 3)
     docs_per_sec = round(n_docs / build_sec, 2) if build_sec > 0 else None
 
+    # --- S2 extraction throughput: jsoup-identical extractor over
+    # synthesized HTML (text wrapped in block/inline markup + entities) ---
+    from websearchengine_spark.functions.udfs import extract_text_udf
+
+    html_docs = docs.select(
+        "doc_id",
+        F.encode(
+            F.concat(
+                F.lit("<html><head><title>t</title></head><body><div><p>"),
+                F.regexp_replace("text", " ", "</p>\n<p>"),
+                F.lit("</p></div><table><tr><td>x &amp; y</td></tr></table></body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+    t0 = time.time()
+    html_docs.select(
+        F.length(extract_text_udf(F.col("html"))).alias("n")
+    ).agg(F.sum("n")).head()
+    ext_sec = time.time() - t0
+    times["html_extract"] = round(ext_sec, 3)
+    extract_docs_per_sec = round(n_docs / ext_sec, 2) if ext_sec > 0 else None
+
     # --- BM25 serve-mode latency: cached postings + precomputed
     # index-time term_stats (the real serve configuration) ---
     from websearchengine_spark.operators import query as Q
@@ -203,6 +226,7 @@ def main() -> None:
                 "queries": times,
                 "sf": sf,
                 "index_build_docs_per_sec": docs_per_sec,
+                "extract_docs_per_sec": extract_docs_per_sec,
                 "n_docs": n_docs,
                 "n_segments": n_segments,
                 "bm25_p95_ms": round(p95 * 1000, 1),
