@@ -275,3 +275,36 @@ def test_hlsh_tables_are_independent():
     t1 = similarity.hyperplanes(64, table=1)
     assert t0 != t1
     assert t0 == similarity.hyperplanes(64, table=0)  # deterministic
+
+
+def test_ivf_topk_recall_on_planted(spark, planted):
+    """IVF (k-means coarse quantizer + nprobe) must place a perturbed
+    query's true base neighbor in its probed top-k, scanning only the
+    probed clusters."""
+    from websearchengine_spark.operators import similarity
+
+    df, pairs = planted
+    emb = {r.vec_id: list(r.embedding) for r in df.collect()}
+    cent = similarity.ivf_train(df, n_centroids=8, iters=3)
+    assert cent.shape[1] == 64
+    # deterministic training
+    cent2 = similarity.ivf_train(df, n_centroids=8, iters=3)
+    assert np.allclose(cent, cent2)
+    hits = 0
+    n_queries = 10
+    for base_id, dup_id in pairs[:n_queries]:
+        got = [
+            r.vec_id
+            for r in similarity.cosine_topk_ivf(
+                df, emb[dup_id], k=3, nprobe=2, centroids=cent
+            ).collect()
+        ]
+        if base_id in got:
+            hits += 1
+    assert hits / n_queries >= 0.9, hits
+    # the probe really prunes: cluster sizes partition the corpus
+    sizes = (
+        similarity.ivf_assign(df, cent).groupBy("cluster").count().collect()
+    )
+    assert sum(r["count"] for r in sizes) == df.count()
+    assert len(sizes) >= 4  # vectors spread over multiple clusters

@@ -154,6 +154,125 @@ def cosine_topk_hlsh(
     return cosine_topk_bruteforce(embeddings.where(cond), query_vec, k)
 
 
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + nprobe search —
+# the second scale path beside sign-LSH.  Centroids are k x dim floats
+# (driver/broadcast scale); vector->cluster assignment is map-side numpy
+# matmul in an Arrow batch; on a stored table ``cluster`` is the
+# partition key, so a query scans only its nprobe partitions.
+# --------------------------------------------------------------------------
+
+IVF_CENTROIDS = 16
+IVF_NPROBE = 4
+IVF_ITERS = 4
+
+
+def ivf_train(
+    embeddings: DataFrame,
+    n_centroids: int = IVF_CENTROIDS,
+    iters: int = IVF_ITERS,
+    seed: int = HLSH_SEED,
+):
+    """Deterministic Lloyd's k-means over unit-normalized vectors.
+
+    Init: the ``n_centroids`` vectors with the smallest md5(vec_id || seed)
+    (a seeded, order-independent sample).  Each iteration: map-side
+    assignment (numpy matmul per Arrow batch) + one groupBy mean; the
+    k x dim centroid matrix round-trips through the driver — that is the
+    IVF design point (coarse quantizers are small by construction), the
+    vectors themselves never leave the executors."""
+    import hashlib
+
+    import numpy as np
+
+    n = embeddings.count()
+    k = min(n_centroids, n)
+    seeds = embeddings.select("vec_id").collect()
+    ranked = sorted(
+        (hashlib.md5(f"{r.vec_id}|{seed}".encode()).hexdigest(), r.vec_id)
+        for r in seeds
+    )[:k]
+    init_ids = [v for _, v in ranked]
+    init = (
+        embeddings.where(F.col("vec_id").isin(init_ids))
+        .orderBy("vec_id")
+        .collect()
+    )
+    cent = np.array([list(r.embedding) for r in init], dtype=np.float64)
+    cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    for _ in range(iters):
+        assigned = ivf_assign(embeddings, cent)
+        means = (
+            assigned.select("cluster", F.posexplode("embedding").alias("dim", "v"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        new = cent.copy()
+        by_c: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_c.setdefault(r.cluster, {})[r.dim] = r.m
+        for c, dims in by_c.items():
+            vec = np.array([dims[d] for d in sorted(dims)], dtype=np.float64)
+            nrm = np.linalg.norm(vec)
+            if nrm > 1e-12:
+                new[c] = vec / nrm
+        cent = new
+    return cent
+
+
+def ivf_assign(embeddings: DataFrame, centroids) -> DataFrame:
+    """embeddings + ``cluster`` column = argmax cosine to the broadcast
+    centroid matrix; one numpy matmul per Arrow batch, map-side only."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = embeddings.sparkSession
+    bc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+    schema = T.StructType(
+        embeddings.schema.fields + [T.StructField("cluster", T.IntegerType())]
+    )
+    cols = embeddings.columns
+
+    def _assign(batches):
+        cent = bc.value
+        for b in batches:
+            v = np.array([list(x) for x in b["embedding"]], dtype=np.float64)
+            nrm = np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+            sims = (v / nrm) @ cent.T
+            b = b.copy()
+            b["cluster"] = sims.argmax(axis=1).astype("int32")
+            yield b[cols + ["cluster"]]
+
+    return embeddings.mapInPandas(_assign, schema)
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 20,
+    n_centroids: int = IVF_CENTROIDS,
+    nprobe: int = IVF_NPROBE,
+    seed: int = HLSH_SEED,
+    centroids=None,
+) -> DataFrame:
+    """Approximate top-k: probe the ``nprobe`` clusters whose centroids
+    are closest to the query, brute-force inside.  Pass ``centroids``
+    (from ivf_train) to amortize training across queries."""
+    import numpy as np
+
+    if centroids is None:
+        centroids = ivf_train(embeddings, n_centroids, seed=seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    order = np.argsort(-(centroids @ q))[: max(1, nprobe)]
+    probes = [int(c) for c in order]
+    assigned = ivf_assign(embeddings, centroids)
+    cand = assigned.where(F.col("cluster").isin(probes))
+    return cosine_topk_bruteforce(cand, query_vec, k)
+
+
 def near_dup_pairs_cosine(
     embeddings: DataFrame,
     threshold: float = 0.95,

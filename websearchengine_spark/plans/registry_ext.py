@@ -257,6 +257,18 @@ WHERE bit_count(xor(e.b0, q.q0)) <= {_HL_PROBE}
 ORDER BY score DESC, vec_id ASC LIMIT {ANN_K}"""
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN: deterministic k-means coarse quantizer (seeded init,
+    driver-size centroid matrix) + nprobe cluster scan + brute-force
+    cosine inside.  No oracle SQL — iterative k-means is not reasonably
+    SQL-expressible, so the driver records the weaker rows-only check;
+    recall >= 90% on planted near-duplicates is pytest-gated
+    (tests/test_dedup_similarity.py)."""
+    return similarity.cosine_topk_ivf(
+        _emb(spark, sf_dir), _query_vec(spark, sf_dir), ANN_K
+    )
+
+
 def q_near_dup_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs, label-blocked (never all-pairs)."""
     return similarity.near_dup_pairs_cosine(
@@ -691,6 +703,7 @@ EXT_REGISTRY = {
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
     "near_dup_cosine": (q_near_dup_cosine, SQL_NEAR_DUP_COSINE),
     "near_dup_lsh": (q_near_dup_lsh, SQL_NEAR_DUP_LSH),
+    "ann_ivf_topk": (q_ann_ivf_topk, None),
     "pagerank_synth": (q_pagerank_synth, SQL_PAGERANK_SYNTH),
     "top_terms_prf": (q_top_terms_prf, SQL_TOP_TERMS_PRF),
     "spearman_rank": (q_spearman_rank, SQL_SPEARMAN_RANK),
