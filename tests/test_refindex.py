@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql.functions import col as F_col
+
 from websearchengine_spark.oracle import engine as ENG
 from websearchengine_spark.oracle import refindex as ORI
 from websearchengine_spark.sources import refindex as RI
@@ -176,6 +178,53 @@ def test_fullscan_parity_real_titles(ref_tables, oracle_idx):
     # the positive query really hits: score-1 docs exist
     hits = [s for _, s in ENG.rank_fullscan(oracle_idx.urls, "1820 timbaland", k=15)]
     assert hits[0] == 1.0 and 0.0 in hits
+
+
+def test_wand_segments_on_real_index(ref_tables, oracle_idx):
+    """Full segment pipeline over REAL data with REAL heavy-hitter skew:
+    encode the shipped postings into compressed block-max segments
+    ('year' df 6,790 / ctf 63,123 is the heaviest shipped term), then
+    block-max-WAND top-10 must equal both the unpruned segment scan and
+    the oracle BM25 over the same files — and the prune must actually
+    skip chunks."""
+    from websearchengine_spark.operators import indexer, wand
+
+    postings, _, n, tot = ref_tables
+    avgdl = tot / n
+
+    def run(terms, query, mode, chunk_docs):
+        sub = postings.where(F_col("term").isin(terms))
+        segs = indexer.build_segments(
+            sub, avgdl=avgdl, chunk_docs=chunk_docs, block_docs=128
+        ).cache()
+        try:
+            stats: dict = {}
+            pruned = wand.bm25_topk_segments(
+                segs, terms, n, avgdl, k=10, mode=mode, stats=stats
+            ).collect()
+            full = wand.bm25_topk_segments(
+                segs, terms, n, avgdl, k=10, mode=mode, prune=False
+            ).collect()
+            assert [(r.doc_id, round(r.score, 9)) for r in pruned] == [
+                (r.doc_id, round(r.score, 9)) for r in full
+            ]
+            want = _oracle_topk(ENG.rank_bm25(oracle_idx, query, k=10, mode=mode))
+            assert [(r.doc_id, round(r.score, 9)) for r in pruned] == want
+            return stats
+        finally:
+            segs.unpersist()
+
+    # heavy-hitter disjunctive ('year': df 6,790 / ctf 63,123): parity
+    # under real skew — dense terms leave little to prune
+    run(
+        ["year", "york", "universiti"], "year york university",
+        "disjunctive", 1024,
+    )
+    # conjunctive with a rarer term: the chunk-level n_terms_present
+    # filter + theta bound must skip a real share of the 39 chunks
+    stats = run(["quebec", "york"], "quebec york", "conjunctive", 256)
+    assert stats["n_chunks"] > 20
+    assert stats["survivors"] < stats["n_chunks"] - stats["probed"]
 
 
 def test_cosine_parity_real_index(ref_tables, oracle_idx):
