@@ -53,6 +53,7 @@ HEADLINE = [
     "pagerank_synth",
     "events_windowed",
     "events_sessionize",
+    "ctr_fold",
     "top_terms_prf",
 ]
 

@@ -258,32 +258,27 @@ def ctr_fold(impressions: DataFrame, prior: float = DEFAULT_CTR) -> DataFrame:
     (keyword, ad_key): ctr_{i} = min(1.0, ctr_{i-1} ± ctr_{i-1}/10),
     starting from the 0.1 prior, impressions ordered by (ts, event_id).
 
-    One groupBy + Arrow-batched applyInPandas; state per key is a single
-    double, so the shuffle moves only (key, ts, clicked) rows.  The
-    streaming twin (same math, live state) is
-    streaming.stream.ctr_state_stream."""
-    import pandas as pd
-
-    out_schema = (
-        "keyword string, ad_key string, ctr double, n_impressions long"
+    One groupBy, then the fold runs as a JVM higher-order ``aggregate``
+    over the key's time-sorted impression array — whole-stage codegen, no
+    Python (an applyInPandas version was 10x slower on many small
+    groups).  The per-key array is the state a sequential fold inherently
+    needs; a deployment with unbounded per-key impression counts
+    pre-aggregates by time slice first.  The streaming twin (same math,
+    live state) is streaming.stream.ctr_state_stream."""
+    chain = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "clicked"))
     )
-
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        ctr = prior
-        for clicked in pdf["clicked"]:
-            ctr = min(1.0, ctr + ctr / 10 if clicked else ctr - ctr / 10)
-        return pd.DataFrame(
-            {
-                "keyword": [pdf["keyword"].iloc[0]],
-                "ad_key": [pdf["ad_key"].iloc[0]],
-                "ctr": [ctr],
-                "n_impressions": [len(pdf)],
-            }
-        )
-
-    return impressions.groupBy("keyword", "ad_key").applyInPandas(
-        fold, out_schema
+    folded = F.aggregate(
+        chain,
+        F.lit(float(prior)),
+        lambda acc, x: F.least(
+            F.lit(1.0),
+            F.when(x["clicked"], acc + acc / 10).otherwise(acc - acc / 10),
+        ),
+    )
+    return impressions.groupBy("keyword", "ad_key").agg(
+        folded.alias("ctr"),
+        F.count(F.lit(1)).cast("long").alias("n_impressions"),
     )
 
 
