@@ -308,3 +308,23 @@ def test_ivf_topk_recall_on_planted(spark, planted):
     )
     assert sum(r["count"] for r in sizes) == df.count()
     assert len(sizes) >= 4  # vectors spread over multiple clusters
+
+
+def test_near_dup_string_label_blocking(spark):
+    """A STRING block column must block on its raw value (regression: a
+    numeric cast nulled it out and silently returned zero pairs)."""
+    from websearchengine_spark.operators import similarity
+
+    v = [1.0, 0.0, 0.0]
+    rows = [
+        (0, v, "news"), (1, v, "news"),            # same block, identical
+        (2, v, "sports"), (3, [0.0, 1.0, 0.0], "sports"),  # orthogonal
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.near_dup_pairs_cosine(df, 0.9, "label").collect()
+    }
+    assert got == {(0, 1)}

@@ -164,3 +164,32 @@ def test_ql_fast_path_absent_token_empty(spark, spark_index):
     tp = Q.word_token_postings(postings, ["zzzznotaterm"])
     out = S.ql_scores(tp, ["zzzznotaterm"], spark_index["total_terms"], {})
     assert out.count() == 0
+
+
+def test_bm25_stats_dict_stale_token_no_null_scores(spark, spark_index):
+    """Disjunctive fast path with a dict missing one live token must drop
+    that token (like the join path's inner join), never emit NULL-score
+    rows."""
+    from websearchengine_spark.operators import indexer, query as Q, score as S
+
+    postings = spark_index["postings"]
+    n, avgdl = spark_index["num_docs"], spark_index["avgdl"]
+    tokens = ["web", "search"]
+    tp = Q.word_token_postings(postings, tokens)
+    stats_map = {r.term: r.df for r in indexer.term_stats(postings).collect()}
+    stale = {"web": stats_map["web"]}  # 'search' missing
+    rows = S.topk(
+        S.bm25_scores(tp, tokens, n, avgdl, "disjunctive", stale), 10
+    ).collect()
+    assert rows and all(r.score is not None for r in rows)
+    # matches the join path restricted to the known token
+    only_web = S.topk(
+        S.bm25_scores(
+            Q.word_token_postings(postings, ["web"]), ["web"], n, avgdl,
+            "disjunctive",
+        ),
+        10,
+    ).collect()
+    assert [(r.doc_id, round(r.score, 9)) for r in rows] == [
+        (r.doc_id, round(r.score, 9)) for r in only_web
+    ]

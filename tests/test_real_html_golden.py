@@ -98,3 +98,25 @@ def test_spark_index_over_real_pages(spark):
     dl = {r.doc_id: r.dl for r in postings.select("doc_id", "dl").distinct().collect()}
     assert dl == oidx.doc_len
     assert sum(dl.values()) > 20000  # real pages, real mass
+
+
+JSOUP_EDGE_CASES = [
+    # outputs verified against the shipped jsoup-1.8.1.jar (HeadCases
+    # harness): pre-body head-rule elements join the implicit head; an
+    # in-body <title> stays in body; void elements never become parents.
+    ("<html><title>T</title><p>H</p></html>", "H"),
+    ("<title>T</title><p>H</p>", "H"),
+    ("<html><head></head><title>T2</title><p>H</p></html>", "H"),
+    ("<body>x<title>T</title>y</body>", "x Ty"),
+    ("<meta charset=x><style>b{color:red}</style>Hello", "Hello"),
+    ("<html><link rel=x>A<p>B</p></html>", "A B"),
+    ("<script>var x=1;</script>plain", "plain"),
+    ("<body>x<style>s{}</style>y</body>", "x y"),
+    ("<textarea> keep  ws </textarea>done", "keep  ws done"),
+    ("<base href=x>text", "text"),
+]
+
+
+@pytest.mark.parametrize("html,want", JSOUP_EDGE_CASES)
+def test_jsoup_tree_builder_edge_cases(html, want):
+    assert tn.extract_text(html) == want

@@ -277,3 +277,10 @@ def test_cosine_parity_real_index(ref_tables, oracle_idx):
         key=lambda x: (-x[1], x[0]),
     )[:10]
     assert got == want
+
+
+def test_hidden_file_parse_drops_positionless_groups():
+    """The driver-side dot-file parser must apply the same tf > 0 filter
+    as the column path and the DuckDB oracle."""
+    rows = list(RI._parse_line("foo:5;6,10,11;7;"))
+    assert rows == [("foo", 6, 2, [10, 11])]

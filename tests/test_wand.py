@@ -95,3 +95,35 @@ def test_empty_and_missing_terms(spark, spark_index, seg_index):
     n = spark_index["num_docs"]
     out = wand.bm25_topk_segments(segs, ["zzzznotaterm"], n, avgdl, k=5)
     assert out.count() == 0
+
+
+def test_stale_term_df_never_crashes(spark, spark_index, seg_index):
+    """A stats map missing a term whose segments exist (stale sidecar
+    after a delta append) must degrade gracefully: the unknown term is
+    treated as df=0, the decode kernel never sees a term without an idf
+    entry, and disjunctive results cover only known terms."""
+    segs, avgdl = seg_index
+    n = spark_index["num_docs"]
+    terms = _stem(["data", "mining"])
+    full_stats = {t: 50 for t in terms}
+    got_full = wand.bm25_topk_segments(
+        segs, terms, n, avgdl, k=5, mode="disjunctive", term_df=full_stats
+    ).collect()
+    assert got_full
+    stale = {terms[0]: 50}  # second term unknown to the sidecar
+    got_stale = wand.bm25_topk_segments(
+        segs, terms, n, avgdl, k=5, mode="disjunctive", term_df=stale
+    ).collect()
+    assert all(r.score is not None for r in got_stale)
+    # conjunctive with a missing term can never satisfy all-terms
+    got_conj = wand.bm25_topk_segments(
+        segs, terms, n, avgdl, k=5, mode="conjunctive", term_df=stale
+    ).collect()
+    assert got_conj == []
+    # empty map -> empty result, no crash
+    assert (
+        wand.bm25_topk_segments(
+            segs, terms, n, avgdl, k=5, mode="disjunctive", term_df={}
+        ).collect()
+        == []
+    )

@@ -51,14 +51,18 @@ def cmd_build(args) -> None:
     # the cap the estimate IS exact; the estimate is stored and used by
     # every reader, so scoring and block-max bounds stay consistent.
     sample = ids.where(F.col("doc_id") < AVGDL_SAMPLE_DOCS)
-    avgdl = float(
+    n_sample = sample.count()
+    # denominator = ALL sampled docs (zero-token docs included), matching
+    # collection_stats and the reference's total/_numDocs
+    total_dl = (
         indexer.build_postings(sample)
         .groupBy("doc_id")
         .agg(F.first("dl").alias("dl"))
-        .agg(F.avg("dl"))
+        .agg(F.sum("dl"))
         .head()[0]
-        or 1.0
+        or 0
     )
+    avgdl = (total_dl / n_sample) if n_sample and total_dl else 1.0
     cp = checkpoint.IndexCheckpointer(
         args.out, docs_per_part=args.docs_per_part
     )
@@ -139,8 +143,16 @@ def cmd_query(args) -> None:
         term_df = None
         ts_path = os.path.join(args.index, "term_stats")
         if os.path.exists(ts_path):
+            from pyspark.sql import functions as F
+
+            # only the query's terms: the isin predicate pushes into the
+            # parquet scan, so a 10^9-term vocabulary never reaches the
+            # driver (a resident server would instead load the map once)
             term_df = {
-                r.term: r.df for r in spark.read.parquet(ts_path).collect()
+                r.term: r.df
+                for r in spark.read.parquet(ts_path)
+                .where(F.col("term").isin(words))
+                .collect()
             }
         out = wand.bm25_topk_segments(
             segs,

@@ -165,6 +165,20 @@ _JSOUP_BLOCK = frozenset(
     table tbody td tfoot th thead title tr ul video""".split()
 )
 _JSOUP_PRESERVE_WS = frozenset(["plaintext", "pre", "textarea", "title"])
+# tags the HTML tree builder processes under in-head rules when seen
+# BEFORE body: they land in the (implicit) head, so their text never
+# reaches body().text().  An in-body <title> stays in body (verified
+# against the shipped jar: '<body>x<title>T</title>y' -> 'x Ty').
+_HEAD_RULE_TAGS = frozenset(
+    "title base basefont bgsound command link meta noframes script style".split()
+)
+# void elements (jsoup Tag.isEmpty): never hold content, so they must not
+# sit on the open-element stack (an unclosed <meta> would otherwise become
+# the "parent" of all following text)
+_VOID_TAGS = frozenset(
+    """area base basefont bgsound br col command device embed frame hr img
+    input keygen link menuitem meta param source track wbr""".split()
+)
 # jsoup StringUtil.isWhitespace — exactly these five; U+00A0 is NOT
 # whitespace and survives normalization as a literal char.
 _JSOUP_WS = frozenset(" \t\n\f\r")
@@ -229,8 +243,14 @@ class _JsoupBodyText(HTMLParser):
         elif tag == "body":
             self.in_head = False
             self.in_body = True
-        elif not self.in_head and not self.in_body and tag != "html":
-            # after-head (or before-head) non-head content implies <body>
+        elif (
+            not self.in_head
+            and not self.in_body
+            and tag != "html"
+            and tag not in _HEAD_RULE_TAGS
+        ):
+            # after-head (or before-head) non-head content implies <body>;
+            # head-rule tags instead join the implicit head
             self.in_body = True
         if (
             self.in_body
@@ -242,6 +262,8 @@ class _JsoupBodyText(HTMLParser):
 
     def handle_starttag(self, tag: str, attrs) -> None:
         self._element_head(tag)
+        if tag in _VOID_TAGS:
+            return
         self.stack.append(tag)
         if tag in ("script", "style"):
             self.skip_data += 1
@@ -264,6 +286,9 @@ class _JsoupBodyText(HTMLParser):
         if self.skip_data or self.in_head:
             return
         if not self.in_body:
+            parent0 = self.stack[-1] if self.stack else ""
+            if parent0 in _HEAD_RULE_TAGS:
+                return  # pre-body <title>/etc. content lives in the head
             if any(c not in _JSOUP_WS for c in data):
                 self.in_body = True  # non-ws text implies body
             else:

@@ -85,6 +85,10 @@ def bm25_scores(
         lit_w = F.create_map(
             *[x for t, v in wmap.items() for x in (F.lit(t), F.lit(v))]
         )[F.col("token")]
+        # keep only tokens the stats know (the join path's inner join did
+        # this implicitly) — otherwise a stale dict would yield NULL
+        # scores for docs matched solely by an unknown token
+        tok_postings = tok_postings.where(F.col("token").isin(list(wmap)))
         scored = tok_postings.groupBy("doc_id").agg(
             F.sum(lit_w * k_term).alias("score"),
             F.count_distinct("token").alias("n_hit"),

@@ -290,10 +290,12 @@ def near_dup_pairs_cosine(
     block on a metadata column instead (e.g. the gate's ``label``), in
     which case blocks are assumed bounded by construction."""
     if block_col is not None:
-        blk = F.col(block_col).cast("long")
+        # no cast: a string block column must block on its raw value (a
+        # numeric cast would NULL it out and the self-join would match
+        # nothing, silently)
         e = embeddings.select(
             F.col("vec_id"),
-            blk.alias("blk"),
+            F.col(block_col).alias("blk"),
             F.col("embedding"),
             _norm(F.col("embedding")).alias("nrm"),
         )

@@ -148,6 +148,11 @@ def bm25_topk_segments(
     # --- metadata pass (Parquet reads only the narrow columns) ---
     if term_df is not None:
         term_df = {t: term_df[t] for t in terms if term_df.get(t, 0) > 0}
+        # a stale stats map may lack a term whose segments exist (e.g. a
+        # delta appended after the sidecar was written): keep the segment
+        # scan and the idf map consistent so the decode kernel never sees
+        # a term without an idf entry
+        segs = segs.where(F.col("term").isin(list(term_df)))
     else:
         term_df = {
             r.term: r.df
@@ -206,20 +211,25 @@ def bm25_topk_segments(
     # --- probe: exact scores for the top-ub chunks -> theta ---
     # TakeOrderedAndProject keeps the selection distributed; the driver
     # never materializes the per-chunk metadata (at 10^12 docs that is
-    # ~15M chunk rows per query).  The tiny probe set broadcasts into the
-    # segment join.
-    probe_df = (
-        chunk_meta.select("chunk", "chunk_ub")
+    # ~15M chunk rows per query) — it sees only the <= probe_chunks probe
+    # ids and the scalar theta.
+    # the probe set is <= probe_chunks rows by construction, so a driver
+    # materialization is bounded by the PARAMETER, not the data (unlike
+    # the old full chunk_meta collect); a .cache() here would leak one
+    # cached plan per query in a serve loop
+    probe_ids = [
+        r.chunk
+        for r in chunk_meta.select("chunk", "chunk_ub")
         .orderBy(F.desc("chunk_ub"), F.asc("chunk"))
         .limit(probe_chunks)
-        .cache()
-    )
+        .collect()
+    ]
     probe_scored = _score_chunks(
-        segs_r.join(F.broadcast(probe_df.select("chunk")), "chunk"),
+        segs_r.where(F.col("chunk").isin(probe_ids)),
         idfs,
         avgdl,
         float("-inf"),
-    ).cache()
+    )
     eligible = probe_scored
     if mode == "conjunctive":
         eligible = probe_scored.where(F.col("n_hit") == len(terms))
@@ -233,14 +243,14 @@ def bm25_topk_segments(
     # chunks survive) ---
     survivors_df = (
         chunk_meta.select("chunk", "chunk_ub")
-        .join(probe_df.select("chunk"), "chunk", "left_anti")
+        .where(~F.col("chunk").isin(probe_ids))
         .where(F.col("chunk_ub") >= F.lit(theta))
         .select("chunk")
     )
     if stats is not None:
         stats.update(
             n_chunks=chunk_meta.count(),
-            probed=probe_df.count(),
+            probed=len(probe_ids),
             survivors=survivors_df.count(),
             theta=theta,
         )

@@ -75,7 +75,7 @@ def _parse_line(line: str):
         if not grp:
             continue
         nums = [int(x) for x in grp.split(",") if x]
-        if nums:
+        if len(nums) > 1:  # tf > 0, matching the column-path filter
             yield term, nums[0], len(nums) - 1, nums[1:]
 
 
