@@ -206,7 +206,7 @@ def main() -> None:
         t0 = time.time()
         W.bm25_topk_segments(
             segs_cached, words, n_docs, avgdl, k=10, mode="conjunctive",
-            term_df=stats_map,
+            term_df=stats_map, eager=True,
         ).collect()
         wlat.append(time.time() - t0)
     wlat.sort()

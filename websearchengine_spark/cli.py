@@ -162,6 +162,7 @@ def cmd_query(args) -> None:
             k=args.k,
             mode=args.mode,
             term_df=term_df,
+            eager=True,
         )
     # hw1 result format: query \t docid \t title \t score
     # (ScoredDocument.java:15-18 asString); title from the docs sidecar

@@ -135,13 +135,18 @@ def bm25_topk_segments(
     prune: bool = True,
     stats: dict | None = None,
     term_df: dict[str, int] | None = None,
+    eager: bool = False,
 ) -> DataFrame:
     """(doc_id, score) top-k BM25 from compressed segments with block-max
     chunk/block pruning.  ``stats`` (optional dict) receives
     {n_chunks, probed, survivors, theta} for observability/tests.
     ``term_df`` (optional) supplies precomputed {term: df} serve-mode
     stats (the reference's in-memory maps), skipping the per-query
-    metadata aggregation job."""
+    metadata aggregation job.  ``eager=True`` is the serve mode: the
+    probe scores are cached for reuse between the theta pass and the
+    final pass, the (<= k)-row result is materialized, and the cache is
+    dropped before returning — lowest latency with no cached-plan leak
+    across queries."""
     terms = sorted(set(query_terms))
     segs = segments.where(F.col("term").isin(terms))
 
@@ -211,25 +216,26 @@ def bm25_topk_segments(
     # --- probe: exact scores for the top-ub chunks -> theta ---
     # TakeOrderedAndProject keeps the selection distributed; the driver
     # never materializes the per-chunk metadata (at 10^12 docs that is
-    # ~15M chunk rows per query) — it sees only the <= probe_chunks probe
-    # ids and the scalar theta.
-    # the probe set is <= probe_chunks rows by construction, so a driver
-    # materialization is bounded by the PARAMETER, not the data (unlike
-    # the old full chunk_meta collect); a .cache() here would leak one
-    # cached plan per query in a serve loop
-    probe_ids = [
-        r.chunk
-        for r in chunk_meta.select("chunk", "chunk_ub")
+    # ~15M chunk rows per query) — it sees only the scalar theta (and, in
+    # a stats request, bounded counts).  In eager serve mode the tiny
+    # probe set and its scores are cached between the theta pass and the
+    # final pass and dropped before returning — no cached-plan leak
+    # across queries, no recompute inside one.
+    probe_df = (
+        chunk_meta.select("chunk", "chunk_ub")
         .orderBy(F.desc("chunk_ub"), F.asc("chunk"))
         .limit(probe_chunks)
-        .collect()
-    ]
+    )
+    if eager:
+        probe_df = probe_df.cache()
     probe_scored = _score_chunks(
-        segs_r.where(F.col("chunk").isin(probe_ids)),
+        segs_r.join(F.broadcast(probe_df.select("chunk")), "chunk"),
         idfs,
         avgdl,
         float("-inf"),
     )
+    if eager:
+        probe_scored = probe_scored.cache()
     eligible = probe_scored
     if mode == "conjunctive":
         eligible = probe_scored.where(F.col("n_hit") == len(terms))
@@ -243,14 +249,14 @@ def bm25_topk_segments(
     # chunks survive) ---
     survivors_df = (
         chunk_meta.select("chunk", "chunk_ub")
-        .where(~F.col("chunk").isin(probe_ids))
+        .join(probe_df.select("chunk"), "chunk", "left_anti")
         .where(F.col("chunk_ub") >= F.lit(theta))
         .select("chunk")
     )
     if stats is not None:
         stats.update(
             n_chunks=chunk_meta.count(),
-            probed=len(probe_ids),
+            probed=probe_df.count(),
             survivors=survivors_df.count(),
             theta=theta,
         )
@@ -264,7 +270,14 @@ def bm25_topk_segments(
     # block-level skips can drop SOME partials of a below-theta doc, so
     # re-aggregate and keep docs whose retained score clears theta OR that
     # came from the probe (probe is exact)
-    return _finalize(scored, mode, len(terms), k)
+    out = _finalize(scored, mode, len(terms), k)
+    if eager:
+        rows = out.collect()
+        probe_scored.unpersist()
+        probe_df.unpersist()
+        spark = segments.sparkSession
+        return spark.createDataFrame(rows, out.schema)
+    return out
 
 
 def _finalize(scored: DataFrame, mode: str, n_terms: int, k: int) -> DataFrame:
