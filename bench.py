@@ -127,11 +127,34 @@ def main() -> None:
     ).head()
     avgdl = float(avgdl_row.avgdl or 1.0)
     segs = indexer.build_segments(postings, avgdl=avgdl, chunk_docs=4096)
-    n_segments = segs.count()
+    seg_agg = segs.agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("n_docs").alias("n_postings"),
+        F.sum("sum_tf").alias("n_occurrences"),
+        F.sum(
+            F.length("doc_gap_bytes")
+            + F.length("tf_bytes")
+            + F.length("dl_bytes")
+            + F.length("pos_bytes")
+        ).alias("payload_bytes"),
+    ).head()
+    n_segments = int(seg_agg.n_segments)
     build_sec = time.time() - t0
     postings.unpersist()
     times["index_build"] = round(build_sec, 3)
     docs_per_sec = round(n_docs / build_sec, 2) if build_sec > 0 else None
+    # compression: varint+delta payload bytes per posting and per
+    # occurrence (positions included)
+    bytes_per_posting = (
+        round(seg_agg.payload_bytes / seg_agg.n_postings, 3)
+        if seg_agg.n_postings
+        else None
+    )
+    bytes_per_occurrence = (
+        round(seg_agg.payload_bytes / seg_agg.n_occurrences, 3)
+        if seg_agg.n_occurrences
+        else None
+    )
 
     # --- S2 extraction throughput: jsoup-identical extractor over
     # synthesized HTML (text wrapped in block/inline markup + entities) ---
@@ -228,6 +251,8 @@ def main() -> None:
                 "sf": sf,
                 "index_build_docs_per_sec": docs_per_sec,
                 "extract_docs_per_sec": extract_docs_per_sec,
+                "bytes_per_posting": bytes_per_posting,
+                "bytes_per_occurrence": bytes_per_occurrence,
                 "n_docs": n_docs,
                 "n_segments": n_segments,
                 "bm25_p95_ms": round(p95 * 1000, 1),
