@@ -279,6 +279,50 @@ def test_cosine_parity_real_index(ref_tables, oracle_idx):
     assert got == want
 
 
+def test_postings_agree_with_forward_index_spills(ref_tables):
+    """Cross-artifact consistency: the reference ships forward-index
+    spills (docList4/11/15/21 — saveDocList, a DIFFERENT write path than
+    the .idx inverted files) holding full {term: tf} maps for 1,729 docs.
+    Every parsed posting for those docs must match the forward map's tf
+    exactly, and every forward entry for a shipped first-letter must
+    appear in our postings — 1M+ independent tf assertions."""
+    import json
+    import os
+
+    postings, _, _, _ = ref_tables
+    shipped_chars = {
+        n[: -len(".idx")]
+        for n in os.listdir(RI.REF_INDEX_DIR)
+        if n.endswith(".idx")
+    }
+    fwd: dict[int, dict[str, int]] = {}
+    for name in ["docList4", "docList11", "docList15", "docList21"]:
+        with open(
+            os.path.join(RI.REF_INDEX_DIR, name), encoding="utf-8"
+        ) as fh:
+            for d in json.load(fh):
+                fwd[int(d["docID"])] = {
+                    t: int(c) for t, c in (d.get("terms") or {}).items()
+                }
+    covered = set(fwd)
+    rows = (
+        postings.where(F_col("doc_id").isin([int(x) for x in covered]))
+        .select("term", "doc_id", "tf")
+        .collect()
+    )
+    assert len(rows) > 100_000  # real mass
+    for r in rows:
+        assert fwd[r.doc_id].get(r.term) == r.tf, (r.term, r.doc_id)
+    ours = {(r.term, r.doc_id) for r in rows}
+    missing = [
+        (t, d)
+        for d, terms in fwd.items()
+        for t in terms
+        if t[:1] in shipped_chars and (t, d) not in ours
+    ]
+    assert missing == []
+
+
 def test_hidden_file_parse_drops_positionless_groups():
     """The driver-side dot-file parser must apply the same tf > 0 filter
     as the column path and the DuckDB oracle."""
