@@ -323,6 +323,50 @@ def test_postings_agree_with_forward_index_spills(ref_tables):
     assert missing == []
 
 
+def test_spearman_real_pagerank_numviews(ref_tables):
+    """G4 over the reference's REAL mined metrics: Spark's Spearman on
+    the 10,229 shipped (_pageRank, _numViews) pairs must equal the
+    reference formula computed in pure Python (0.438440).  The hw3
+    readme's published best is 0.45424 for a different (λ, iters) run
+    than the one whose output ships in `documents`; same family, and the
+    shipped data's coefficient is pinned exactly here."""
+    from websearchengine_spark.operators import mining
+
+    _, docs, _, _ = ref_tables
+    got = (
+        mining.spearman(
+            docs.select("doc_id", "page_rank", "num_views"),
+            "page_rank",
+            "num_views",
+        )
+        .head()
+        .rho
+    )
+    # pure-Python reference-formula twin (ranks 1..n desc, docid ties)
+    rows = docs.select("doc_id", "page_rank", "num_views").collect()
+    rows.sort(key=lambda r: r.doc_id)
+    pr = [r.page_rank for r in rows]
+    nv = [r.num_views for r in rows]
+    n = len(pr)
+
+    def ranks(vals):
+        order = sorted(range(n), key=lambda i: (-vals[i], i))
+        out = [0] * n
+        for pos, i in enumerate(order):
+            out[i] = pos + 1
+        return out
+
+    x, y = ranks(pr), ranks(nv)
+    z = sum(range(1, n + 1)) / n
+    sn = sum((x[i] - z) * (y[i] - z) for i in range(n))
+    sx = sum((x[i] - z) ** 2 for i in range(n))
+    sy = sum((y[i] - z) ** 2 for i in range(n))
+    want = sn / (sx * sy) ** 0.5
+    assert got == pytest.approx(want, abs=1e-9)
+    assert got == pytest.approx(0.438440, abs=5e-7)
+    assert abs(got - 0.45424) < 0.02  # same family as the published best
+
+
 def test_hidden_file_parse_drops_positionless_groups():
     """The driver-side dot-file parser must apply the same tf > 0 filter
     as the column path and the DuckDB oracle."""
