@@ -77,3 +77,64 @@ def test_reference_evaluator_golden_parity(spark, result_file, golden_file):
     for q, want in golden.items():
         for col, g, w in zip(COLS, got[q], want):
             assert g == pytest.approx(w, abs=1e-9), (q, col, g, w)
+
+
+def test_linear_blend_golden_identity(spark):
+    """R5's blend expression reproduces the reference's shipped
+    hw1.2-linear.tsv BIT-EXACTLY from its shipped component scores
+    (hw1.1-{vsm,ql,phrase,numviews}.tsv): 3,295 real (query, doc) rows,
+    betas 0.6/0.39/0.0099/0.0001 combined in the reference's summation
+    order — a corpus-free golden test of the linear ranker's math."""
+    from pyspark.sql import functions as F
+
+    from websearchengine_spark.operators.score import LINEAR_BETAS
+
+    def load(name):
+        rows = []
+        with open(
+            os.path.join(REF, "result", name), encoding="utf-8",
+            errors="replace",
+        ) as f:
+            for line in f:
+                parts = line.rstrip("\n").split("\t")
+                if len(parts) >= 4:
+                    rows.append((parts[0], int(parts[1]), float(parts[3])))
+        return spark.createDataFrame(
+            rows, "query string, doc_id long, score double"
+        )
+
+    comp = (
+        load("hw1.1-vsm.tsv").withColumnRenamed("score", "s_cos")
+        .join(
+            load("hw1.1-ql.tsv").withColumnRenamed("score", "s_ql"),
+            ["query", "doc_id"],
+        )
+        .join(
+            load("hw1.1-phrase.tsv").withColumnRenamed("score", "s_ph"),
+            ["query", "doc_id"],
+        )
+        .join(
+            load("hw1.1-numviews.tsv").withColumnRenamed("score", "s_nv"),
+            ["query", "doc_id"],
+        )
+    )
+    b1, b2, b3, b4 = LINEAR_BETAS
+    blended = comp.select(
+        "query",
+        "doc_id",
+        (
+            F.lit(b1) * F.col("s_cos")
+            + F.lit(b2) * F.col("s_ql")
+            + F.lit(b3) * F.col("s_ph")
+            + F.lit(b4) * F.col("s_nv")
+        ).alias("score"),
+    )
+    got = {
+        (r.query, r.doc_id): r.score for r in blended.collect()
+    }
+    want = {
+        (r.query, r.doc_id): r.score
+        for r in load("hw1.2-linear.tsv").collect()
+    }
+    assert len(got) == len(want) == 3295
+    assert got == want  # bit-exact double equality, no tolerance
