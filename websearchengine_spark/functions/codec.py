@@ -55,6 +55,55 @@ def encode_varints(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def varint_byte_lengths(values: np.ndarray) -> np.ndarray:
+    """Per-value encoded byte count (7-bit groups, min 1) — vectorized."""
+    v = np.asarray(values, dtype=np.uint64)
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nbytes[tmp != 0] += 1
+        tmp = tmp >> np.uint64(7)
+    return nbytes
+
+
+def encode_varints_segmented(
+    values: np.ndarray, seg_lengths: np.ndarray
+) -> list[bytes]:
+    """Encode a FLAT value array once and split the byte stream into one
+    ``bytes`` per segment (``seg_lengths`` values each, all > 0).
+
+    Varint framing is per-value, so slicing the batch encoding at
+    per-segment byte offsets is byte-identical to encoding each segment
+    separately — but costs ONE vectorized pass instead of a numpy call
+    per segment (the per-posting call overhead dominated the build
+    kernel: 93% of its time on ~3-element arrays)."""
+    seg_lengths = np.asarray(seg_lengths, dtype=np.int64)
+    if seg_lengths.size == 0:
+        return []
+    assert (seg_lengths > 0).all(), "zero-length segments unsupported"
+    buf = encode_varints(values)
+    nbytes = varint_byte_lengths(values)
+    starts = np.concatenate(([0], np.cumsum(seg_lengths)[:-1]))
+    seg_bytes = np.add.reduceat(nbytes, starts)
+    offs = np.concatenate(([0], np.cumsum(seg_bytes)))
+    return [buf[offs[i] : offs[i + 1]] for i in range(seg_lengths.size)]
+
+
+def delta_encode_segmented(
+    flat: np.ndarray, seg_starts: np.ndarray
+) -> np.ndarray:
+    """Per-segment delta-gap over a flat concatenation: within each
+    segment the first value stays absolute, the rest become gaps."""
+    a = np.asarray(flat, dtype=np.int64)
+    if a.size == 0:
+        return a
+    out = np.empty_like(a)
+    out[0] = a[0]
+    np.subtract(a[1:], a[:-1], out=out[1:])
+    out[seg_starts] = a[seg_starts]
+    return out
+
+
 def decode_varints(buf: bytes) -> np.ndarray:
     """Inverse of :func:`encode_varints` — vectorized LEB128 decode."""
     raw = np.frombuffer(buf, dtype=np.uint8)
