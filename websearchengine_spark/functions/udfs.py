@@ -37,9 +37,12 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
 def tokenize_udf(title: pd.Series, text: pd.Series) -> pd.Series:
     """T1-T5 fused (IndexerInvertedCompressed.java:160-253): the returned
     array holds kept index terms in position order; ``posexplode`` yields
-    (pos, term) with the reference's 0-based kept-token positions."""
+    (pos, term) with the reference's 0-based kept-token positions.  A
+    per-batch memo stems each unique raw token once."""
+    memo: dict = {}
     return pd.Series(
-        [tokenize_document(t, x) for t, x in zip(title, text)], dtype=object
+        [tokenize_document(t, x, memo) for t, x in zip(title, text)],
+        dtype=object,
     )
 
 

@@ -153,11 +153,12 @@ def build_postings(
     import numpy as np
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict = {}  # per-task raw-token -> normalized cache (Zipf)
         for b in batches:
             terms, dids, tfs, poss, dls = [], [], [], [], []
             flat_pos: list[int] = []  # bytes mode: all positions, in order
             for url, text, did in zip(b["url"], b["text"], b["doc_id"]):
-                toks = tokenize_document(url, text)
+                toks = tokenize_document(url, text, memo)
                 dl = len(toks)
                 by_term: dict[str, list[int]] = {}
                 for pos, t in enumerate(toks):
