@@ -313,45 +313,104 @@ def build_segments(
     bytes_mode = "pos_bytes" in postings.columns
     pos_col = "pos_bytes" if bytes_mode else "positions"
 
-    def _encode_group(
-        term: str,
-        doc_ids: "np.ndarray",
-        tfs: "np.ndarray",
-        dls: "np.ndarray",
-        positions: list | None,
+    def _encode_groups_batch(
+        terms,
+        chunks,
+        doc_ids,
+        tfs,
+        dls,
+        poss,
+        group_starts,
+        group_ends,
         out: dict,
     ) -> None:
-        chunk = int(doc_ids[0]) // chunk_docs
-        for seq, lo in enumerate(range(0, len(doc_ids), block_docs)):
-            hi = lo + block_docs
-            d, t, l = doc_ids[lo:hi], tfs[lo:hi], dls[lo:hi]
-            enc = codec.encode_block(
-                d,
-                t,
-                None
-                if (positions is None or bytes_mode)
-                else [np.asarray(p, dtype=np.int64) for p in positions[lo:hi]],
+        """Encode EVERY block of every (term, chunk) group in the batch
+        with a handful of vectorized passes (reduceat for the block-max
+        metadata, one segmented delta+varint per payload column) instead
+        of per-block numpy calls — the same batching that tripled the
+        posting kernel."""
+        # block boundaries tile the batch: each group splits into runs of
+        # <= block_docs postings
+        blk_starts = np.concatenate(
+            [
+                np.arange(lo, hi, block_docs)
+                for lo, hi in zip(group_starts, group_ends)
+            ]
+        )
+        n_blocks_per_group = np.array(
+            [
+                (hi - lo + block_docs - 1) // block_docs
+                for lo, hi in zip(group_starts, group_ends)
+            ],
+            dtype=np.int64,
+        )
+        total = int(group_ends[-1]) if len(group_ends) else 0
+        # slice to the processed span: reduceat's last segment runs to the
+        # end of the ARRAY, which may include the held-back pending group
+        doc_ids = doc_ids[:total]
+        tfs = tfs[:total]
+        dls = dls[:total]
+        if poss is not None:
+            poss = poss[:total]
+        blk_ends = np.concatenate((blk_starts[1:], [total]))
+        blk_lens = blk_ends - blk_starts
+        n_blk = blk_starts.size
+
+        out["term"].extend(terms[blk_starts].tolist())
+        out["chunk"].extend(chunks[blk_starts].tolist())
+        out["block_seq"].extend(
+            np.concatenate(
+                [np.arange(nb) for nb in n_blocks_per_group]
+            ).tolist()
+        )
+        out["n_docs"].extend(blk_lens.tolist())
+        out["first_doc_id"].extend(doc_ids[blk_starts].tolist())
+        out["last_doc_id"].extend(doc_ids[blk_ends - 1].tolist())
+        out["doc_gap_bytes"].extend(
+            codec.encode_varints_segmented(
+                codec.delta_encode_segmented(doc_ids, blk_starts), blk_lens
             )
-            if bytes_mode and positions is not None:
-                enc["pos_bytes"] = b"".join(
-                    bytes(x) for x in positions[lo:hi]
+        )
+        out["tf_bytes"].extend(codec.encode_varints_segmented(tfs, blk_lens))
+        out["dl_bytes"].extend(codec.encode_varints_segmented(dls, blk_lens))
+        out["block_max_tf"].extend(
+            np.maximum.reduceat(tfs, blk_starts).tolist()
+        )
+        out["sum_tf"].extend(np.add.reduceat(tfs, blk_starts).tolist())
+        w = tfs / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+        out["block_max_weight"].extend(
+            np.maximum.reduceat(w, blk_starts).tolist()
+        )
+        if poss is None:
+            out["pos_bytes"].extend([b""] * n_blk)
+        elif bytes_mode:
+            # per-doc varint streams concatenate per block (framing is
+            # per value, so no re-encoding)
+            out["pos_bytes"].extend(
+                b"".join(bytes(x) for x in poss[lo:hi])
+                for lo, hi in zip(blk_starts, blk_ends)
+            )
+        else:
+            # flatten every posting's positions once; delta restarts per
+            # POSTING, byte segments group per BLOCK
+            from itertools import chain
+
+            pos_counts = tfs
+            flat = np.fromiter(
+                chain.from_iterable(poss),
+                dtype=np.int64,
+                count=int(pos_counts.sum()),
+            )
+            posting_starts = np.concatenate(
+                ([0], np.cumsum(pos_counts)[:-1])
+            )
+            block_pos_lens = np.add.reduceat(pos_counts, blk_starts)
+            out["pos_bytes"].extend(
+                codec.encode_varints_segmented(
+                    codec.delta_encode_segmented(flat, posting_starts),
+                    block_pos_lens,
                 )
-            weight = float(
-                (t / (t + k1 * (1.0 - b + b * l / avgdl))).max()
             )
-            out["term"].append(term)
-            out["chunk"].append(chunk)
-            out["block_seq"].append(seq)
-            out["n_docs"].append(enc["n_docs"])
-            out["first_doc_id"].append(enc["first_doc_id"])
-            out["last_doc_id"].append(enc["last_doc_id"])
-            out["doc_gap_bytes"].append(enc["doc_gap_bytes"])
-            out["tf_bytes"].append(enc["tf_bytes"])
-            out["dl_bytes"].append(codec.encode_varints(l))
-            out["pos_bytes"].append(enc["pos_bytes"])
-            out["block_max_tf"].append(enc["block_max_tf"])
-            out["block_max_weight"].append(weight)
-            out["sum_tf"].append(enc["sum_tf"])
 
     def _fresh_out() -> dict:
         return {f.name: [] for f in SEGMENT_SCHEMA.fields}
@@ -405,15 +464,10 @@ def build_segments(
             dls = bdf["dl"].to_numpy(dtype=np.int64)
             poss = bdf[pos_col].to_list() if with_positions else None
             out = _fresh_out()
-            for lo, hi in zip(starts[:-1], starts[1:]):
-                _encode_group(
-                    terms[lo],
-                    doc_ids[lo:hi],
-                    tfs[lo:hi],
-                    dls[lo:hi],
-                    poss[lo:hi] if poss is not None else None,
-                    out,
-                )
+            _encode_groups_batch(
+                terms, chunks, doc_ids, tfs, dls, poss,
+                starts[:-1], starts[1:], out,
+            )
             yield _to_pdf(out)
         if pend is not None and len(pend):
             out = _fresh_out()
@@ -430,15 +484,10 @@ def build_segments(
             tfs = pend["tf"].to_numpy(dtype=np.int64)
             dls = pend["dl"].to_numpy(dtype=np.int64)
             poss = pend[pos_col].to_list() if with_positions else None
-            for lo, hi in zip(starts[:-1], starts[1:]):
-                _encode_group(
-                    terms[lo],
-                    doc_ids[lo:hi],
-                    tfs[lo:hi],
-                    dls[lo:hi],
-                    poss[lo:hi] if poss is not None else None,
-                    out,
-                )
+            _encode_groups_batch(
+                terms, chunks, doc_ids, tfs, dls, poss,
+                starts[:-1], starts[1:], out,
+            )
             yield _to_pdf(out)
 
     keyed = postings.withColumn(
