@@ -127,3 +127,35 @@ def test_stale_term_df_never_crashes(spark, spark_index, seg_index):
         ).collect()
         == []
     )
+
+
+@pytest.mark.parametrize("mode", ["conjunctive", "disjunctive"])
+def test_eager_serve_mode_matches_lazy(spark, spark_index, seg_index, mode):
+    """eager=True (the production serve path in cli/bench) must return
+    the same rows as the lazy plan, already materialized, with its
+    per-query caches dropped."""
+    segs, avgdl = seg_index
+    n = spark_index["num_docs"]
+    terms = _stem(["data", "mining"])
+    lazy = wand.bm25_topk_segments(
+        segs, terms, n, avgdl, k=5, mode=mode
+    ).collect()
+    stats: dict = {}
+    eager_df = wand.bm25_topk_segments(
+        segs, terms, n, avgdl, k=5, mode=mode, eager=True, stats=stats
+    )
+    got = eager_df.collect()
+    assert [(r.doc_id, round(r.score, 9)) for r in got] == [
+        (r.doc_id, round(r.score, 9)) for r in lazy
+    ]
+    assert stats["n_chunks"] > 0
+    # eager result is a local relation (materialized), not the live plan
+    assert "Scan ExistingRDD" in eager_df._jdf.queryExecution().executedPlan().toString() \
+        or "LocalTableScan" in eager_df._jdf.queryExecution().executedPlan().toString()
+    # prune=False eager path also materializes
+    got2 = wand.bm25_topk_segments(
+        segs, terms, n, avgdl, k=5, mode=mode, prune=False, eager=True
+    ).collect()
+    assert [(r.doc_id, round(r.score, 9)) for r in got2] == [
+        (r.doc_id, round(r.score, 9)) for r in lazy
+    ]

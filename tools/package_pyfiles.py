@@ -41,6 +41,9 @@ def build(out_path: str) -> list[str]:
     with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as z:
         for rel in names:
             info = zipfile.ZipInfo(rel, date_time=(2020, 1, 1, 0, 0, 0))
+            # writestr honors the ZipInfo's compress_type, NOT the
+            # archive-level default — without this every entry is STORED
+            info.compress_type = zipfile.ZIP_DEFLATED
             info.external_attr = 0o644 << 16
             with open(os.path.join(REPO, rel), "rb") as fh:
                 z.writestr(info, fh.read())

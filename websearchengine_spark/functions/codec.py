@@ -81,8 +81,24 @@ def encode_varints_segmented(
     if seg_lengths.size == 0:
         return []
     assert (seg_lengths > 0).all(), "zero-length segments unsupported"
-    buf = encode_varints(values)
-    nbytes = varint_byte_lengths(values)
+    # single byte-length pass shared by the encoder and the slicer
+    # (encode_varints would otherwise recompute it internally)
+    v = np.asarray(values, dtype=np.uint64)
+    nbytes = varint_byte_lengths(v)
+    total = int(nbytes.sum())
+    out = np.empty(total, dtype=np.uint8)
+    ends = np.cumsum(nbytes)
+    val_starts = ends - nbytes
+    vals = v.copy()
+    maxw = int(nbytes.max()) if nbytes.size else 0
+    for kk in range(maxw):
+        live = nbytes > kk
+        idx = val_starts[live] + kk
+        bts = (vals[live] & np.uint64(0x7F)).astype(np.uint8)
+        more = (kk + 1) < nbytes[live]
+        out[idx] = bts | (more.astype(np.uint8) << 7)
+        vals[live] >>= np.uint64(7)
+    buf = out.tobytes()
     starts = np.concatenate(([0], np.cumsum(seg_lengths)[:-1]))
     seg_bytes = np.add.reduceat(nbytes, starts)
     offs = np.concatenate(([0], np.cumsum(seg_bytes)))

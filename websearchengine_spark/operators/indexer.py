@@ -152,9 +152,13 @@ def build_postings(
     as_bytes = positions_as == "bytes"
     import numpy as np
 
+    MEMO_CAP = 1 << 20  # bound the per-task cache on high-cardinality text
+
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         memo: dict = {}  # per-task raw-token -> normalized cache (Zipf)
         for b in batches:
+            if len(memo) > MEMO_CAP:
+                memo.clear()
             terms, dids, tfs, poss, dls = [], [], [], [], []
             flat_pos: list[int] = []  # bytes mode: all positions, in order
             for url, text, did in zip(b["url"], b["text"], b["doc_id"]):

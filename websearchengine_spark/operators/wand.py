@@ -198,6 +198,10 @@ def bm25_topk_segments(
     )
     segs_r = segs.join(residual, ["chunk", "term"])
 
+    def _materialize(df: DataFrame) -> DataFrame:
+        rows = df.collect()
+        return segments.sparkSession.createDataFrame(rows, df.schema)
+
     if not prune:
         scored = _score_chunks(
             segs_r.withColumn("residual", F.lit(float("inf"))),
@@ -211,30 +215,35 @@ def bm25_topk_segments(
                 n_chunks=n_chunks, probed=n_chunks, survivors=0,
                 theta=float("-inf"),
             )
-        return _finalize(scored, mode, len(terms), k)
+        out = _finalize(scored, mode, len(terms), k)
+        return _materialize(out) if eager else out
 
     # --- probe: exact scores for the top-ub chunks -> theta ---
     # TakeOrderedAndProject keeps the selection distributed; the driver
-    # never materializes the per-chunk metadata (at 10^12 docs that is
-    # ~15M chunk rows per query) — it sees only the scalar theta (and, in
-    # a stats request, bounded counts).  In eager serve mode the tiny
-    # probe set and its scores are cached between the theta pass and the
-    # final pass and dropped before returning — no cached-plan leak
-    # across queries, no recompute inside one.
-    probe_df = (
-        chunk_meta.select("chunk", "chunk_ub")
+    # materializes only the <= probe_chunks winning ids (bounded by the
+    # PARAMETER, not the data — at 10^12 docs the per-chunk metadata is
+    # ~15M rows per query and never leaves the executors) plus the
+    # scalar theta.  Collecting the probe ids ONCE also pins the probe
+    # set: chunk_ub is a float sum whose accumulation order is not
+    # guaranteed stable across re-executions, so near-equal upper bounds
+    # could otherwise swap in/out of the limit between the probe pass
+    # and the survivor anti-filter.
+    probe_ids = [
+        r.chunk
+        for r in chunk_meta.select("chunk", "chunk_ub")
         .orderBy(F.desc("chunk_ub"), F.asc("chunk"))
         .limit(probe_chunks)
-    )
-    if eager:
-        probe_df = probe_df.cache()
+        .collect()
+    ]
     probe_scored = _score_chunks(
-        segs_r.join(F.broadcast(probe_df.select("chunk")), "chunk"),
+        segs_r.where(F.col("chunk").isin(probe_ids)),
         idfs,
         avgdl,
         float("-inf"),
     )
     if eager:
+        # serve mode: reuse the probe scores between the theta pass and
+        # the final union, dropping the cache before returning
         probe_scored = probe_scored.cache()
     eligible = probe_scored
     if mode == "conjunctive":
@@ -243,20 +252,18 @@ def bm25_topk_segments(
     kth = eligible.orderBy(F.desc("score")).limit(k).collect()
     theta = kth[k - 1].score if len(kth) >= k else float("-inf")
 
-    # --- prune + final pass over surviving chunks (anti-join away the
-    # probed chunks, keep chunk_ub >= theta; the chunk filter is a join,
-    # never an isin literal, so the plan stays bounded however many
-    # chunks survive) ---
+    # --- prune + final pass over surviving chunks: drop the probed ids
+    # (a bounded literal), keep chunk_ub >= theta ---
     survivors_df = (
         chunk_meta.select("chunk", "chunk_ub")
-        .join(probe_df.select("chunk"), "chunk", "left_anti")
+        .where(~F.col("chunk").isin(probe_ids))
         .where(F.col("chunk_ub") >= F.lit(theta))
         .select("chunk")
     )
     if stats is not None:
         stats.update(
             n_chunks=chunk_meta.count(),
-            probed=probe_df.count(),
+            probed=len(probe_ids),
             survivors=survivors_df.count(),
             theta=theta,
         )
@@ -272,11 +279,8 @@ def bm25_topk_segments(
     # came from the probe (probe is exact)
     out = _finalize(scored, mode, len(terms), k)
     if eager:
-        rows = out.collect()
+        out = _materialize(out)
         probe_scored.unpersist()
-        probe_df.unpersist()
-        spark = segments.sparkSession
-        return spark.createDataFrame(rows, out.schema)
     return out
 
 
