@@ -23,8 +23,8 @@ import os
 import sys
 
 
-# avgdl sample size for cmd_build: first N docs by dense doc_id (exact for
-# corpora at or under the cap; a stable estimate above it)
+# avgdl sample target for cmd_build: ~N docs drawn by url-hash (exact for
+# corpora at or under the cap; an unbiased estimate above it)
 AVGDL_SAMPLE_DOCS = 1 << 16
 
 
@@ -43,15 +43,23 @@ def cmd_build(args) -> None:
     corpus = spark.read.parquet(args.corpus)
     if "lang" in corpus.columns:
         corpus = corpus.where(F.col("lang") == "en")
+    n_total = corpus.count()
     ids = indexer.assign_doc_ids(corpus.select("url", "text"))
-    # avgdl for block-max weights, estimated from the FIRST sample-cap docs
-    # (doc_ids are dense from 0, so the predicate is deterministic and
-    # shuffle-free).  Tokenization dominates build cost; the old exact
-    # pre-pass tokenized the whole corpus a second time.  For corpora under
-    # the cap the estimate IS exact; the estimate is stored and used by
-    # every reader, so scoring and block-max bounds stay consistent.
-    sample = ids.where(F.col("doc_id") < AVGDL_SAMPLE_DOCS)
-    n_sample = sample.count()
+    # avgdl for block-max weights, estimated from a deterministic url-hash
+    # sample of ~AVGDL_SAMPLE_DOCS docs (xxhash64(url) % K == 0).  A
+    # doc_id-prefix sample would be the alphabetically-first urls — at web
+    # scale likely one site/prefix — whereas the hash sample is uniform
+    # over the corpus with the same determinism.  Tokenization dominates
+    # build cost; for corpora under the cap K == 1 and the estimate IS
+    # exact.  The estimate is stored and used by every reader, so scoring
+    # and block-max bounds stay consistent.
+    sample_mod = max(1, n_total // AVGDL_SAMPLE_DOCS)
+    sample = ids
+    if sample_mod > 1:
+        sample = ids.where(
+            F.pmod(F.xxhash64(F.col("url")), F.lit(sample_mod)) == 0
+        )
+    n_sample = n_total if sample_mod == 1 else sample.count()
     # denominator = ALL sampled docs (zero-token docs included), matching
     # collection_stats and the reference's total/_numDocs
     total_dl = (

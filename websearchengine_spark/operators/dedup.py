@@ -60,10 +60,13 @@ def tokens_col(text_col="text") -> F.Column:
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """Small test files arrive as 1-2 splits, which would serialize the
     map-side hashing below onto one core; widen to the session's default
-    parallelism.  At real scale the source table is already many splits
-    wide and this is a no-op."""
+    parallelism.  Width is judged by the source file count (``inputFiles``
+    — plan metadata, no job), NOT ``df.rdd`` — converting the scan plan to
+    an RDD is exactly the cost indexer.assign_doc_ids avoids.  At real
+    scale the source table is already many files wide and this is a no-op;
+    non-file sources (in-memory test frames) report zero files and widen."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    if len(df.inputFiles()) < max(2, target // 2):
         return df.repartition(target)
     return df
 

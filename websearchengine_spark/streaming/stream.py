@@ -153,7 +153,10 @@ def incremental_index_query(
         base = max((l.doc_hi + 1 for l in committed), default=0)
         # align the batch to fresh partition ranges after `base`
         start_part = (base + docs_per_part - 1) // docs_per_part
-        ids = indexer.assign_doc_ids(batch_df, n_parts=4).withColumn(
+        # n_parts from the session's defaultParallelism (assign_doc_ids
+        # default) — a hardcoded width would cap every micro-batch's
+        # tokenize stage regardless of cluster size
+        ids = indexer.assign_doc_ids(batch_df).withColumn(
             "doc_id", F.col("doc_id") + F.lit(start_part * docs_per_part)
         )
         cp.build(ids, avgdl=avgdl)
