@@ -310,6 +310,42 @@ def test_ivf_topk_recall_on_planted(spark, planted):
     assert len(sizes) >= 4  # vectors spread over multiple clusters
 
 
+def test_ivf_train_matches_sequential_twin(spark, planted):
+    """The distributed trainer and the sequential numpy twin that
+    generates the gate's DuckDB oracle SQL (oracle/ivf.py) must produce
+    BIT-IDENTICAL centroids: the 6-dp per-iteration rounding is designed
+    to absorb float-sum-order differences between the two, and the
+    ann_ivf_topk hash gate depends on it."""
+    from websearchengine_spark.operators import similarity
+    from websearchengine_spark.oracle import ivf as oracle_ivf
+
+    df, _ = planted
+    rows = sorted(
+        df.select("vec_id", "embedding").collect(), key=lambda r: r.vec_id
+    )
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    vecs = np.array([list(r.embedding) for r in rows], dtype=np.float32)
+    cent_d = similarity.ivf_train(df, n_centroids=8, iters=3)
+    cent_s = oracle_ivf.train_centroids_local(
+        ids, vecs, 8, 3, similarity.HLSH_SEED
+    )
+    assert np.array_equal(cent_d, cent_s)
+
+
+def test_ivf_oracle_sql_generates(spark):
+    """The gate SQL generator embeds trained centroid literals and the
+    nprobe filter; it must emit runnable SQL when the gate corpus is
+    readable (the driver's sf0.01 layout)."""
+    import os
+
+    from websearchengine_spark.plans import registry_ext
+
+    if not os.path.exists("/root/testdata/sf0.01/embeddings.parquet"):
+        pytest.skip("driver testdata not present")
+    sql = registry_ext._sql_ann_ivf_topk()
+    assert sql is not None and "list_position" in sql and "cluster IN" in sql
+
+
 def test_near_dup_string_label_blocking(spark):
     """A STRING block column must block on its raw value (regression: a
     numeric cast nulled it out and silently returned zero pairs)."""

@@ -176,30 +176,37 @@ def ivf_train(
     """Deterministic Lloyd's k-means over unit-normalized vectors.
 
     Init: the ``n_centroids`` vectors with the smallest md5(vec_id || seed)
-    (a seeded, order-independent sample).  Each iteration: map-side
-    assignment (numpy matmul per Arrow batch) + one groupBy mean; the
+    (a seeded, order-independent sample) — selected as a distributed
+    TakeOrdered (``orderBy(md5).limit(k)``), so the driver sees ≤ k rows
+    regardless of corpus size.  Each iteration: map-side assignment (numpy
+    matmul per Arrow batch) + one groupBy mean (k·dim rows); only the
     k x dim centroid matrix round-trips through the driver — that is the
     IVF design point (coarse quantizers are small by construction), the
-    vectors themselves never leave the executors."""
-    import hashlib
+    vectors themselves never leave the executors.
 
+    Centroids are rounded to 6 dp after init and after every update so
+    any engine (this distributed path, the sequential numpy twin in
+    oracle/ivf.py that generates the DuckDB gate SQL) walks a
+    bit-identical trajectory: float-sum-order noise in the means lives at
+    ~1e-15 and dies at the rounding, while assignments only depend on the
+    rounded matrix."""
     import numpy as np
 
-    n = embeddings.count()
-    k = min(n_centroids, n)
-    seeds = embeddings.select("vec_id").collect()
-    ranked = sorted(
-        (hashlib.md5(f"{r.vec_id}|{seed}".encode()).hexdigest(), r.vec_id)
-        for r in seeds
-    )[:k]
-    init_ids = [v for _, v in ranked]
-    init = (
-        embeddings.where(F.col("vec_id").isin(init_ids))
-        .orderBy("vec_id")
+    ranked = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy(
+            F.md5(
+                F.concat(F.col("vec_id").cast("string"), F.lit(f"|{seed}"))
+            ),
+            F.col("vec_id"),
+        )
+        .limit(n_centroids)
         .collect()
     )
+    init = sorted(ranked, key=lambda r: r.vec_id)
     cent = np.array([list(r.embedding) for r in init], dtype=np.float64)
     cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    cent = np.round(cent, 6)
     for _ in range(iters):
         assigned = ivf_assign(embeddings, cent)
         means = (
@@ -217,7 +224,7 @@ def ivf_train(
             nrm = np.linalg.norm(vec)
             if nrm > 1e-12:
                 new[c] = vec / nrm
-        cent = new
+        cent = np.round(new, 6)
     return cent
 
 

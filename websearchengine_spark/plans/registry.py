@@ -590,4 +590,17 @@ def queries() -> dict[str, Callable]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in _full_registry().items() if sql}
+    """Registry values may be a SQL string or a zero-arg callable that
+    generates one (gates whose SQL embeds data-derived literals, e.g. the
+    IVF centroid matrix); a callable returning None falls back to the
+    driver's rows-only check."""
+    out: dict[str, str] = {}
+    for name, (_, sql) in _full_registry().items():
+        if callable(sql):
+            try:
+                sql = sql()
+            except Exception:
+                sql = None
+        if sql:
+            out[name] = sql
+    return out

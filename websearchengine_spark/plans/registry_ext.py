@@ -258,15 +258,76 @@ ORDER BY score DESC, vec_id ASC LIMIT {ANN_K}"""
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF ANN: deterministic k-means coarse quantizer (seeded init,
-    driver-size centroid matrix) + nprobe cluster scan + brute-force
-    cosine inside.  No oracle SQL — iterative k-means is not reasonably
-    SQL-expressible, so the driver records the weaker rows-only check;
-    recall >= 90% on planted near-duplicates is pytest-gated
-    (tests/test_dedup_similarity.py)."""
+    """IVF ANN: deterministic k-means coarse quantizer (seeded distributed
+    TakeOrdered init, driver-size centroid matrix, 6-dp rounded
+    trajectory) + nprobe cluster scan + brute-force cosine inside.
+
+    Oracle: training is deterministic in (data, seed), so
+    ``_sql_ann_ivf_topk`` trains the sequential numpy twin
+    (oracle/ivf.py) over the same parquet and embeds the centroid matrix
+    as literal lists — assignment (argmax of k literal dot products),
+    nprobe filter, and cosine top-k are then pure SQL, the same
+    literal-constant pattern as the hyperplane-LSH gate.  Twin ==
+    distributed-train equality is separately pytest-gated."""
     return similarity.cosine_topk_ivf(
         _emb(spark, sf_dir), _query_vec(spark, sf_dir), ANN_K
     )
+
+
+def _sql_ann_ivf_topk() -> str | None:
+    """Generate the IVF gate SQL at oracle-collection time (it embeds
+    centroids trained from the gate corpus, so it cannot be a static
+    module literal).  The driver compares at sf0.01; override
+    ``WSE_ORACLE_SF_DIR`` to retarget.  Returns None (-> rows-only
+    fallback) if the corpus is unreadable here."""
+    import os
+
+    import numpy as np
+
+    from websearchengine_spark.oracle import ivf as oracle_ivf
+
+    path = os.path.join(
+        os.environ.get("WSE_ORACLE_SF_DIR", "/root/testdata/sf0.01"),
+        "embeddings.parquet",
+    )
+    try:
+        cent, q = oracle_ivf.train_from_parquet(
+            path,
+            similarity.IVF_CENTROIDS,
+            similarity.IVF_ITERS,
+            similarity.HLSH_SEED,
+        )
+    except Exception:
+        return None
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probes = [
+        int(c)
+        for c in np.argsort(-(cent @ qn))[: max(1, similarity.IVF_NPROBE)]
+    ]
+    sims = ",\n           ".join(
+        "list_dot_product(emb, ["
+        + ",".join(repr(float(v)) for v in row)
+        + "]::DOUBLE[]) / nrm"
+        for row in cent
+    )
+    return f"""WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+a AS (
+  SELECT vec_id, emb, nrm,
+         list_position(sims, list_max(sims)) - 1 AS cluster
+  FROM (SELECT vec_id, emb, nrm, list_value(
+           {sims}) AS sims FROM e)
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(list_dot_product(e.emb, q.qv)
+             / (e.nrm * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+FROM a e, q
+WHERE e.cluster IN ({",".join(str(p) for p in probes)})
+ORDER BY score DESC, vec_id ASC LIMIT {ANN_K}"""
 
 
 def q_near_dup_cosine(spark, sf_dir):
@@ -703,7 +764,7 @@ EXT_REGISTRY = {
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
     "near_dup_cosine": (q_near_dup_cosine, SQL_NEAR_DUP_COSINE),
     "near_dup_lsh": (q_near_dup_lsh, SQL_NEAR_DUP_LSH),
-    "ann_ivf_topk": (q_ann_ivf_topk, None),
+    "ann_ivf_topk": (q_ann_ivf_topk, _sql_ann_ivf_topk),
     "pagerank_synth": (q_pagerank_synth, SQL_PAGERANK_SYNTH),
     "top_terms_prf": (q_top_terms_prf, SQL_TOP_TERMS_PRF),
     "spearman_rank": (q_spearman_rank, SQL_SPEARMAN_RANK),

@@ -39,19 +39,29 @@ _DOCURL = f"{RI.REF_INDEX_DIR}/docURL"
 # term = before FIRST ':', data = after LAST ':'; ';' posting groups of
 # [docid, absolute positions...]).  DuckDB's read_text glob, unlike
 # Spark's file index, already includes the hidden '..idx' dot-file.
-_SQL_REF_CTES = f"""refpost AS (
-  SELECT term, doc_id, tf FROM (
-    SELECT split_part(line, ':', 1) AS term,
-           CAST(split_part(grp, ',', 1) AS BIGINT) AS doc_id,
-           len(list_filter(string_split(grp, ','), x -> length(x) > 0)) - 1 AS tf
-    FROM (
-      SELECT line,
-             unnest(string_split(list_extract(string_split(line, ':'), -1), ';')) AS grp
-      FROM (SELECT unnest(string_split(content, chr(10))) AS line
-            FROM read_text('{_IDX_GLOB}'))
-      WHERE contains(line, ':')
-    ) WHERE length(grp) > 0
-  ) WHERE tf > 0
+# ``refgrp`` keeps the parsed number list so ``refpost`` (tf) and
+# ``refpos`` (exploded absolute positions, for the phrase gate) derive
+# from one parse.
+_SQL_REF_CTES = f"""refgrp AS (
+  SELECT split_part(line, ':', 1) AS term,
+         list_transform(
+           list_filter(string_split(grp, ','), x -> length(x) > 0),
+           x -> CAST(x AS BIGINT)) AS nums
+  FROM (
+    SELECT line,
+           unnest(string_split(list_extract(string_split(line, ':'), -1), ';')) AS grp
+    FROM (SELECT unnest(string_split(content, chr(10))) AS line
+          FROM read_text('{_IDX_GLOB}'))
+    WHERE contains(line, ':')
+  ) WHERE length(grp) > 0
+),
+refpost AS (
+  SELECT term, nums[1] AS doc_id, len(nums) - 1 AS tf
+  FROM refgrp WHERE len(nums) > 1
+),
+refpos AS (
+  SELECT term, nums[1] AS doc_id, unnest(nums[2:]) AS pos
+  FROM refgrp WHERE len(nums) > 1
 ),
 refdocs AS (
   SELECT docID::BIGINT AS doc_id, totalTerms::BIGINT AS dl,
@@ -181,8 +191,34 @@ FROM s2
 ORDER BY num_views DESC, page_rank DESC, score DESC, doc_id ASC LIMIT 10"""
 
 
+def q_ref_idx_phrase(spark, sf_dir):
+    """Q4/Q5 over the REAL shipped index: the phrase "york universiti"
+    (stems of the gate query) verified by the positions-adjacency path —
+    conjunctive pre-join on both terms, then the adjacency-count Arrow UDF
+    (phrase_count_udf, IndexerInvertedCompressed.java:520-564) as
+    phrase_tf over the reference's real absolute token positions.  Output
+    carries the real doc length so the gate also pins the dl join."""
+    from websearchengine_spark.operators import query as Q
+
+    postings, _docs, _n, _tot = RI.ref_index_tables(spark)
+    out = Q.phrase_token_postings(postings, " ".join(REF_TERMS))
+    return out.select("doc_id", F.col("tf").cast("long").alias("phrase_tf"), "dl")
+
+
+SQL_REF_IDX_PHRASE = f"""WITH {_SQL_REF_CTES},
+w0 AS (SELECT doc_id, pos FROM refpos WHERE term = '{REF_TERMS[0]}'),
+w1 AS (SELECT doc_id, pos FROM refpos WHERE term = '{REF_TERMS[1]}'),
+adj AS (
+  SELECT w0.doc_id, count(*)::BIGINT AS phrase_tf
+  FROM w0 JOIN w1 ON w1.doc_id = w0.doc_id AND w1.pos = w0.pos + 1
+  GROUP BY w0.doc_id
+)
+SELECT adj.doc_id, adj.phrase_tf, d.dl FROM adj JOIN refdocs d USING (doc_id)"""
+
+
 REF_REGISTRY = {
     "ref_idx_term_stats": (q_ref_idx_term_stats, SQL_REF_IDX_TERM_STATS),
+    "ref_idx_phrase": (q_ref_idx_phrase, SQL_REF_IDX_PHRASE),
     "ref_idx_bm25": (q_ref_idx_bm25, SQL_REF_IDX_BM25),
     "ref_idx_ql": (q_ref_idx_ql, SQL_REF_IDX_QL),
     "ref_idx_comprehensive": (q_ref_idx_comprehensive, SQL_REF_IDX_COMPREHENSIVE),
