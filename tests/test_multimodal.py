@@ -1,6 +1,7 @@
-"""Multimodal: REAL decoders (BMP / netpbm / PCM WAV / YUV4MPEG2) proved
-against independently-written encoders, honest NotImplementedError for
-compressed codecs, plus the Spark plumbing (schema, fan-out, determinism).
+"""Multimodal: REAL decoders (BMP / netpbm / PNG / PCM WAV / YUV4MPEG2)
+proved against independently-written encoders, honest NotImplementedError
+for codecs the container can't parse (JPEG/GIF/MP3/MP4, 16-bit or
+interlaced PNG), plus the Spark plumbing (schema, fan-out, determinism).
 """
 
 from __future__ import annotations
@@ -70,11 +71,104 @@ def test_resize_nearest():
     assert np.all(up[:, :2] == 0.0) and np.all(up[:, 2:] == 1.0)
 
 
+def test_png_roundtrip_every_filter():
+    """The decoder must invert every scanline filter type exactly; the
+    encoder applies the FORWARD filter transform (a distinct computation),
+    so agreement proves the inverse, not a shared bug."""
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    for ft in range(5):
+        got = M.decode_image(M.encode_png(px, filters=[ft] * 7))
+        assert np.array_equal(
+            (got * 255.0).round().astype(np.uint8), px
+        ), f"filter {ft}"
+    # mixed filters down one image
+    got = M.decode_image(M.encode_png(px, filters=[0, 1, 2, 3, 4, 2, 1]))
+    assert np.array_equal((got * 255.0).round().astype(np.uint8), px)
+
+
+def test_png_gray_and_rgba():
+    rng = np.random.default_rng(12)
+    gray = rng.integers(0, 256, size=(4, 6), dtype=np.uint8)
+    g = M.decode_image(M.encode_png(gray, filters=[1, 4, 2, 3], color=0))
+    assert g.shape == (4, 6, 3)
+    assert np.array_equal((g[..., 0] * 255.0).round().astype(np.uint8), gray)
+    assert np.array_equal(g[..., 0], g[..., 2])  # replicated channels
+    rgba = rng.integers(0, 256, size=(3, 4, 4), dtype=np.uint8)
+    got = M.decode_image(M.encode_png(rgba, filters=[4, 3, 1], color=6))
+    # alpha dropped, RGB exact
+    assert np.array_equal(
+        (got * 255.0).round().astype(np.uint8), rgba[..., :3]
+    )
+
+
+def test_png_zlib_stream_is_real():
+    """The blob really is DEFLATE-compressed — corrupting the IDAT body
+    must fail the zlib stream, proving decode isn't reading raw bytes."""
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    blob = bytearray(M.encode_png(px))
+    idat = blob.index(b"IDAT")
+    blob[idat + 8] ^= 0xFF
+    with pytest.raises(Exception):
+        M.decode_image(bytes(blob))
+
+
+def test_png_unsupported_variants_raise():
+    import struct as _s
+    import zlib as _z
+
+    def chunk(ctype, body):
+        return (_s.pack(">I", len(body)) + ctype + body
+                + _s.pack(">I", _z.crc32(ctype + body) & 0xFFFFFFFF))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # 16-bit depth
+    hdr16 = chunk(b"IHDR", _s.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+    with pytest.raises(NotImplementedError):
+        M.decode_image(sig + hdr16 + chunk(b"IDAT", b"x") + chunk(b"IEND", b""))
+    # Adam7 interlace
+    hdr_i = chunk(b"IHDR", _s.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+    with pytest.raises(NotImplementedError):
+        M.decode_image(sig + hdr_i + chunk(b"IDAT", b"x") + chunk(b"IEND", b""))
+    # palette image missing its PLTE
+    hdr_p = chunk(b"IHDR", _s.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+    body = _z.compress(b"\x00\x00")
+    with pytest.raises(ValueError):
+        M.decode_image(sig + hdr_p + chunk(b"IDAT", body) + chunk(b"IEND", b""))
+
+
+def test_png_palette_decode():
+    """Color type 3: indices map through PLTE."""
+    import struct as _s
+    import zlib as _z
+
+    def chunk(ctype, body):
+        return (_s.pack(">I", len(body)) + ctype + body
+                + _s.pack(">I", _z.crc32(ctype + body) & 0xFFFFFFFF))
+
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B entries
+    # 3x2 image of indices, filter 0 rows
+    scan = b"\x00" + bytes([0, 1, 2]) + b"\x00" + bytes([2, 2, 0])
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", _s.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", palette)
+        + chunk(b"IDAT", _z.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    got = (M.decode_image(blob) * 255.0).round().astype(np.uint8)
+    expect = np.array(
+        [[[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+         [[0, 0, 255], [0, 0, 255], [255, 0, 0]]], dtype=np.uint8
+    )
+    assert np.array_equal(got, expect)
+
+
 def test_compressed_codecs_raise():
     with pytest.raises(NotImplementedError):
         M.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)  # JPEG
     with pytest.raises(NotImplementedError):
-        M.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
+        M.decode_image(b"GIF89a" + b"\x00" * 32)
     with pytest.raises(NotImplementedError):
         M.decode_audio(b"ID3\x04" + b"\x00" * 32)  # MP3
     with pytest.raises(ValueError):

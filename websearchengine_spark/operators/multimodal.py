@@ -4,15 +4,18 @@ typed metadata, processed by Arrow-batched pandas UDFs over ``mapInPandas``.
 Decode is REAL for the uncompressed container formats a numpy-only
 environment can parse bit-exactly from their public specs:
 
-- images: BMP (24-bit BI_RGB, bottom-up, 4-byte row padding) and netpbm
-  P6/P5 (binary PPM/PGM);
+- images: BMP (24-bit BI_RGB, bottom-up, 4-byte row padding), netpbm
+  P6/P5 (binary PPM/PGM), and PNG (8-bit gray/RGB/palette/RGBA,
+  non-interlaced — DEFLATE via stdlib ``zlib`` + numpy unfiltering of all
+  five scanline filters, no codec library needed);
 - audio: RIFF/WAVE PCM (8/16-bit, any channel count);
 - video: YUV4MPEG2 (y4m) — uncompressed frame stream with FRAME markers
   (C420/C444/Cmono), the interchange format ffmpeg pipelines emit.
 
-Compressed codecs (JPEG/PNG/GIF, MP3, MP4/H.264...) need codec libraries
-this container doesn't ship; those magics raise ``NotImplementedError``
-loudly rather than fake an answer.  Resize is a real nearest-neighbor
+Codecs needing real entropy/transform libraries (JPEG/GIF, MP3,
+MP4/H.264...) raise ``NotImplementedError`` loudly rather than fake an
+answer, as do PNG variants outside the supported subset (16-bit, Adam7
+interlace).  Resize is a real nearest-neighbor
 resample (index arithmetic); features are real statistics of decoded
 pixels/samples.
 
@@ -61,13 +64,14 @@ FEATURE_SCHEMA = T.StructType(
 
 _COMPRESSED_MAGICS = {
     b"\xff\xd8\xff": "jpeg",
-    b"\x89PNG": "png",
     b"GIF8": "gif",
     b"\x00\x00\x00\x18ftyp": "mp4",
     b"\x00\x00\x00\x20ftyp": "mp4",
     b"ID3": "mp3",
     b"\xff\xfb": "mp3",
 }
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def _reject_compressed(blob: bytes) -> None:
@@ -76,7 +80,7 @@ def _reject_compressed(blob: bytes) -> None:
             raise NotImplementedError(
                 f"{name} decode requires a codec library not present in "
                 "this environment; supported real formats: BMP, PPM/PGM, "
-                "PCM WAV, YUV4MPEG2"
+                "PNG (8-bit non-interlaced), PCM WAV, YUV4MPEG2"
             )
 
 
@@ -97,6 +101,8 @@ def decode_image(blob: bytes) -> np.ndarray:
         return _decode_bmp(blob)
     if blob[:2] in (b"P6", b"P5"):
         return _decode_pnm(blob)
+    if blob[:8] == _PNG_SIG:
+        return _decode_png(blob)
     raise ValueError(f"unrecognized image container (magic {blob[:4]!r})")
 
 
@@ -153,6 +159,101 @@ def _decode_pnm(blob: bytes) -> np.ndarray:
     if ch == 1:
         px = np.repeat(px, 3, axis=2)
     return px
+
+
+# PNG color type -> samples per pixel (8-bit depth)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _decode_png(blob: bytes) -> np.ndarray:
+    """Real PNG decode with stdlib ``zlib`` + numpy unfiltering — no codec
+    library.  Supports the web-common subset: 8-bit depth, color types 0
+    (gray) / 2 (RGB) / 3 (palette) / 4 (gray+alpha) / 6 (RGBA), interlace
+    0; all five scanline filters (None/Sub/Up/Average/Paeth).  Alpha is
+    dropped (features pool over color); 16-bit and Adam7 interlacing raise
+    loudly rather than approximate."""
+    import zlib
+
+    i, hdr, plte, idat = 8, None, None, []
+    while i + 8 <= len(blob):
+        length = struct.unpack_from(">I", blob, i)[0]
+        ctype = blob[i + 4 : i + 8]
+        body = blob[i + 8 : i + 8 + length]
+        if ctype == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        i += 12 + length  # length + type + body + crc
+    if hdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    w, h, depth, color, _comp, _filt, interlace = hdr
+    if depth != 8:
+        raise NotImplementedError(f"{depth}-bit PNG not supported (8 only)")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if color not in _PNG_CHANNELS:
+        raise NotImplementedError(f"PNG color type {color} not supported")
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    ch = _PNG_CHANNELS[color]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG scanline data")
+    samples = _png_unfilter(np.frombuffer(raw, dtype=np.uint8), h, stride, ch)
+    px = samples.reshape(h, w, ch)
+    if color == 3:
+        px = plte[px[..., 0]]
+    elif ch == 2:  # gray+alpha -> gray
+        px = px[..., :1]
+    elif ch == 4:  # RGBA -> RGB
+        px = px[..., :3]
+    if px.shape[2] == 1:
+        px = np.repeat(px, 3, axis=2)
+    return px.astype(np.float32) / 255.0
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Invert per-scanline filtering (PNG spec §9).  None/Sub/Up are
+    vectorized (Sub is a per-byte-lane cumsum — mod 256 distributes over
+    the running sum); Average/Paeth carry a true sequential dependency
+    along x and fall back to a per-byte scan."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ft = int(raw[pos])
+        row = raw[pos + 1 : pos + 1 + stride].astype(np.int32)
+        pos += 1 + stride
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ft == 0:
+            cur = row
+        elif ft == 1:  # Sub: cur[x] = row[x] + cur[x-bpp]
+            cur = row.copy()
+            for lane in range(bpp):
+                cur[lane::bpp] = np.cumsum(cur[lane::bpp]) & 0xFF
+        elif ft == 2:  # Up
+            cur = (row + prev) & 0xFF
+        elif ft in (3, 4):  # Average / Paeth
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                if ft == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        out[y] = cur.astype(np.uint8)
+    return out
 
 
 def resize_image(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
@@ -385,6 +486,71 @@ def encode_bmp(px: np.ndarray) -> bytes:
     return header + info + bytes(body)
 
 
+def encode_png(
+    px: np.ndarray, filters: list[int] | None = None, color: int = 2
+) -> bytes:
+    """uint8 pixels -> 8-bit PNG (independent writer used by tests to
+    prove the decoder against known pixels).  ``filters`` picks the
+    per-scanline filter type (0-4, default all 0) so tests exercise every
+    inverse filter; the encoder applies the FORWARD filter transform —
+    the decoder must invert it exactly.  ``color``: 2 = RGB (HxWx3 input),
+    0 = gray (HxW), 6 = RGBA (HxWx4)."""
+    import zlib
+
+    ch = {0: 1, 2: 3, 6: 4}[color]
+    if px.ndim == 2:
+        px = px[..., None]
+    h, w = px.shape[:2]
+    assert px.shape[2] == ch
+    filters = filters or [0] * h
+    bpp = ch
+    lines = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        ft = filters[y]
+        cur = px[y].reshape(-1).astype(np.int32)
+        if ft == 0:
+            enc = cur
+        elif ft == 1:
+            left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            enc = (cur - left) & 0xFF
+        elif ft == 2:
+            enc = (cur - prev) & 0xFF
+        elif ft == 3:
+            left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            enc = (cur - ((left + prev) >> 1)) & 0xFF
+        elif ft == 4:
+            enc = np.zeros(w * ch, dtype=np.int32)
+            for x in range(w * ch):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[x] = (int(cur[x]) - pred) & 0xFF
+        else:
+            raise ValueError(f"invalid filter {ft}")
+        lines += bytes([ft]) + enc.astype(np.uint8).tobytes()
+        prev = cur
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
     """float [-1,1] mono -> 16-bit PCM WAV."""
     pcm = np.clip(samples, -1.0, 1.0)
@@ -408,8 +574,10 @@ def encode_y4m(frames: list[np.ndarray], w: int, h: int) -> bytes:
 
 
 def synth_media_df(spark, n: int = 24) -> DataFrame:
-    """Deterministic media table in REAL formats (BMP / PCM WAV / y4m) —
-    no external data, but every blob round-trips a genuine decoder."""
+    """Deterministic media table in REAL formats (BMP + PNG / PCM WAV /
+    y4m) — no external data, but every blob round-trips a genuine decoder.
+    Images alternate BMP and PNG (the PNG rows cycle the scanline filter,
+    so the Spark feature path exercises real DEFLATE + unfiltering)."""
     rows = []
     kinds = ["image", "audio", "video"]
     mimes = {"image": "image/bmp", "audio": "audio/wav", "video": "video/x-y4m"}
@@ -419,6 +587,10 @@ def synth_media_df(spark, n: int = 24) -> DataFrame:
         if kind == "image":
             w, h = 8 + i % 5, 6 + i % 4
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            if (i // 3) % 2:
+                blob = encode_png(px, filters=[(i + y) % 5 for y in range(h)])
+                rows.append((i, kind, "image/png", blob, w, h, None))
+                continue
             blob = encode_bmp(px)
             rows.append((i, kind, mimes[kind], blob, w, h, None))
         elif kind == "audio":
