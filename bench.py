@@ -237,6 +237,32 @@ def main() -> None:
     times["wand_query_p95"] = round(
         wlat[max(0, int(len(wlat) * 0.95) - 1)], 3
     )
+    # --- phrase serve-path A/B: full positional decode vs chunk-pruned
+    # (Q.token_postings_from_segments).  Honest caveat: the sf0.1 documents
+    # vocabulary is 31 terms each in ~78% of docs, so every chunk holds
+    # phrase candidates and pruning cannot skip here — the numbers measure
+    # the pruned plan's overhead at worst-case density; the actual
+    # chunk-skipping win is pytest-gated on sparse data
+    # (tests/test_wand.py::test_phrase_pruned_segments_match_full_decode).
+    pq = '"spark join"'
+    ptokens, _, pphrases = Q.split_tokens(pq)
+    pneeded = sorted({w for p in pphrases for w in p.split()})
+    flat, plat = [], []
+    for _ in range(3):
+        t0 = time.time()
+        full_post = indexer.decode_segments(
+            segs_cached.where(F.col("term").isin(pneeded)),
+            with_positions=True,
+        )
+        S.rank_bm25(full_post, pq, n_docs, avgdl, k=10).collect()
+        flat.append(time.time() - t0)
+        t0 = time.time()
+        tp = Q.token_postings_from_segments(segs_cached, pq)
+        S.topk(S.bm25_scores(tp, ptokens, n_docs, avgdl), 10).collect()
+        plat.append(time.time() - t0)
+    times["phrase_full_p50"] = round(sorted(flat)[1], 3)
+    times["phrase_pruned_p50"] = round(sorted(plat)[1], 3)
+
     cached.unpersist()
     segs_cached.unpersist()
 

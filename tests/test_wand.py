@@ -159,3 +159,57 @@ def test_eager_serve_mode_matches_lazy(spark, spark_index, seg_index, mode):
     assert [(r.doc_id, round(r.score, 9)) for r in got2] == [
         (r.doc_id, round(r.score, 9)) for r in lazy
     ]
+
+
+def test_phrase_pruned_segments_match_full_decode(spark, spark_index, seg_index):
+    """Serve-path phrase pruning (Q.token_postings_from_segments): ranking
+    must equal the full positional decode, and the positional decode must
+    actually touch fewer segments than the unpruned term filter."""
+    segs, avgdl = seg_index
+    n = spark_index["num_docs"]
+    q = '"data mining"'
+    tokens, words, phrases = Q.split_tokens(q)
+    assert phrases and not words
+    needed = sorted({w for p in phrases for w in p.split()})
+
+    full_post = indexer.decode_segments(
+        segs.where(F.col("term").isin(needed)), with_positions=True
+    )
+    want = score.rank_bm25(full_post, q, n, avgdl, k=5).collect()
+
+    tp = Q.token_postings_from_segments(segs, q)
+    got = score.topk(score.bm25_scores(tp, tokens, n, avgdl), 5).collect()
+    assert [(r.doc_id, pytest.approx(r.score, rel=1e-9)) for r in got] == [
+        (r.doc_id, r.score) for r in want
+    ]
+
+    # pruning evidence (on a rarer pair — "data mining" co-occurs in
+    # every chunk of this small fixture): chunks where EVERY phrase word
+    # has segments (the metadata prune) are a strict subset of all chunks
+    # of those terms
+    rare = ["hipa"] + _stem(["data"])  # df=1 gibberish token + common term
+    cand_chunks = (
+        segs.where(F.col("term").isin(rare))
+        .groupBy("chunk")
+        .agg(F.count_distinct("term").alias("np"))
+        .where(F.col("np") == len(rare))
+        .count()
+    )
+    all_chunks = (
+        segs.where(F.col("term").isin(rare))
+        .select("chunk").distinct().count()
+    )
+    assert cand_chunks < all_chunks, (cand_chunks, all_chunks)
+    # and ranking over the rare pair as a PHRASE stays correct under the
+    # prune (empty or not, pruned == full)
+    rq = '"hipa data"'
+    full_rare = indexer.decode_segments(
+        segs.where(F.col("term").isin(rare)), with_positions=True
+    )
+    want_r = score.rank_bm25(full_rare, rq, n, avgdl, k=5).collect()
+    rtokens, _, _ = Q.split_tokens(rq)
+    tp_r = Q.token_postings_from_segments(segs, rq)
+    got_r = score.topk(score.bm25_scores(tp_r, rtokens, n, avgdl), 5).collect()
+    assert [(r.doc_id, round(r.score, 9)) for r in got_r] == [
+        (r.doc_id, round(r.score, 9)) for r in want_r
+    ]

@@ -121,27 +121,25 @@ def cmd_query(args) -> None:
     segs = cp.segments(spark)
     tokens, words, phrases = Q.split_tokens(args.q)
     if phrases:
-        # phrase tokens need positions: decode ONLY the query terms'
-        # segments (the isin filter must sit BELOW the decode UDF —
+        # phrase tokens need positions, but positions are decoded ONLY for
+        # chunks where every phrase word has segments — a metadata-only
+        # prune (Q.token_postings_from_segments) that never touches
+        # posting bytes; pos_bytes decompress just for surviving chunks.
+        # (The isin term filter always sits BELOW the decode UDF —
         # Catalyst cannot push a predicate through mapInPandas, so
-        # filtering after decode would decompress the whole index)
-        from pyspark.sql import functions as F
+        # filtering after decode would decompress the whole index.)
+        from websearchengine_spark.operators import score
 
-        from websearchengine_spark.operators import indexer, score
-
-        needed = sorted(
-            set(words) | {w for p in phrases for w in p.split()}
-        )
-        postings = indexer.decode_segments(
-            segs.where(F.col("term").isin(needed)), with_positions=True
-        )
-        out = score.rank_bm25(
-            postings,
-            args.q,
-            num_docs=stats["num_docs"],
-            avgdl=stats["avgdl"],
-            k=args.k,
-            mode=args.mode,
+        tp = Q.token_postings_from_segments(segs, args.q)
+        out = score.topk(
+            score.bm25_scores(
+                tp,
+                tokens,
+                num_docs=stats["num_docs"],
+                avgdl=stats["avgdl"],
+                mode=args.mode,
+            ),
+            args.k,
         )
     else:
         # serve fast path: the term-stats sidecar collects into the

@@ -95,6 +95,66 @@ def token_postings(postings: DataFrame, query: str) -> DataFrame:
     return out
 
 
+def token_postings_from_segments(segments: DataFrame, query: str) -> DataFrame:
+    """Serve-path token postings straight from compressed segments, with
+    positional decode PRUNED to surviving chunks — from segment METADATA
+    only, no pre-decode.
+
+    Positions are the fat payload (pos_bytes ≈ dl·varint vs ~5 bytes of
+    doc_gap+tf per posting), so the phrase path decodes them only where a
+    phrase can possibly match: a chunk survives iff EVERY word of the
+    phrase has at least one segment in it — a tiny aggregation over the
+    (term, chunk) metadata columns (never touches posting bytes), the
+    same doc-range chunk key WAND prunes on.  Only surviving chunks'
+    segments are decoded with positions; the adjacency pre-join inside
+    phrase_token_postings then applies the exact doc-level conjunctive
+    filter, so results are identical to decoding everything.  Worst-case
+    (every chunk holds all words) this degrades to the full decode plus
+    one metadata aggregation; best case (rare co-occurrence — the web
+    norm) it skips almost all pos_bytes.  Single-word tokens decode
+    non-positionally."""
+    from websearchengine_spark.operators import indexer
+
+    _, words, phrases = split_tokens(query)
+    spark = segments.sparkSession
+    parts = []
+    if words:
+        parts.append(
+            word_token_postings(
+                indexer.decode_segments(
+                    segments.where(F.col("term").isin(words)),
+                    with_positions=False,
+                ),
+                words,
+            )
+        )
+    for p in phrases:
+        uniq = sorted(set(p.split()))
+        cand_chunks = (
+            segments.where(F.col("term").isin(uniq))
+            .groupBy("chunk")
+            .agg(F.count_distinct("term").alias("n_present"))
+            .where(F.col("n_present") == len(uniq))
+            .select("chunk")
+        )
+        pruned = segments.where(F.col("term").isin(uniq)).join(
+            cand_chunks, "chunk", "left_semi"
+        )
+        parts.append(
+            phrase_token_postings(
+                indexer.decode_segments(pruned, with_positions=True), p
+            )
+        )
+    if not parts:
+        return spark.createDataFrame(
+            [], "token string, doc_id long, tf int, dl int"
+        )
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out
+
+
 def conjunctive_candidates(tok_postings: DataFrame, n_tokens: int) -> DataFrame:
     """Q1/Q3 — docs containing ALL distinct query tokens."""
     return (
