@@ -164,11 +164,58 @@ def test_png_palette_decode():
     assert np.array_equal(got, expect)
 
 
+def test_gif_roundtrip_random_palette():
+    """Hand-rolled LZW decode vs a genuinely-compressing LZW encoder:
+    random indices force long literal stretches, repetition forces
+    dictionary sequences — round-trip must be pixel-exact."""
+    rng = np.random.default_rng(21)
+    pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    idx = rng.integers(0, 8, size=(9, 11), dtype=np.uint8)
+    got = M.decode_image(M.encode_gif(idx, pal))
+    assert got.shape == (9, 11, 3)
+    assert np.array_equal((got * 255.0).round().astype(np.uint8), pal[idx])
+
+
+def test_gif_repetitive_kwkwk_and_dict_growth():
+    """All-same and tiled inputs drive the KwKwK code path and the
+    growing code widths; a big image overflows the 4096-entry dictionary
+    and forces a mid-stream reset the decoder must follow."""
+    pal = np.array([[0, 0, 0], [255, 255, 255], [10, 20, 30], [200, 100, 0]],
+                   dtype=np.uint8)
+    flat = np.zeros((16, 16), dtype=np.uint8)  # all one color -> KwKwK
+    got = M.decode_image(M.encode_gif(flat, pal))
+    assert np.array_equal((got * 255.0).round().astype(np.uint8), pal[flat])
+    rng = np.random.default_rng(22)
+    big = rng.integers(0, 4, size=(160, 160), dtype=np.uint8)  # 25.6k px
+    got = M.decode_image(M.encode_gif(big, pal))
+    assert np.array_equal((got * 255.0).round().astype(np.uint8), pal[big])
+
+
+def test_gif_interlaced():
+    rng = np.random.default_rng(23)
+    pal = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = rng.integers(0, 4, size=(13, 6), dtype=np.uint8)
+    got = M.decode_image(M.encode_gif(idx, pal, interlace=True))
+    assert np.array_equal((got * 255.0).round().astype(np.uint8), pal[idx])
+
+
+def test_gif_skips_extensions():
+    """A GIF89a graphic-control extension before the image descriptor
+    must be skipped, not tripped over."""
+    pal = np.array([[5, 6, 7], [8, 9, 10]], dtype=np.uint8)
+    idx = np.array([[0, 1], [1, 0]], dtype=np.uint8)
+    blob = bytearray(M.encode_gif(idx, pal))
+    # splice a GCE (0x21 0xF9, one 4-byte sub-block, terminator) right
+    # before the image descriptor (0x2C)
+    at = blob.index(0x2C, 13)
+    blob[at:at] = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    got = M.decode_image(bytes(blob))
+    assert np.array_equal((got * 255.0).round().astype(np.uint8), pal[idx])
+
+
 def test_compressed_codecs_raise():
     with pytest.raises(NotImplementedError):
         M.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)  # JPEG
-    with pytest.raises(NotImplementedError):
-        M.decode_image(b"GIF89a" + b"\x00" * 32)
     with pytest.raises(NotImplementedError):
         M.decode_audio(b"ID3\x04" + b"\x00" * 32)  # MP3
     with pytest.raises(ValueError):

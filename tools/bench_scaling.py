@@ -62,13 +62,20 @@ def cpu_microbench(n: int) -> float:
         return float(sum(p.map(_burn, range(n))))
 
 
-def measure(cpus: int, repl: int) -> dict:
+def measure(
+    cpus: int, repl: int, chunk_docs: int = CHUNK_DOCS, codec: str | None = None
+) -> dict:
     from pyspark.sql import functions as F
 
     from websearchengine_spark.operators import indexer
     from websearchengine_spark.session import get_spark
 
-    spark = get_spark(f"local[{cpus}]", shuffle_partitions=max(cpus * 2, 8))
+    extra = {"spark.io.compression.codec": codec} if codec else None
+    spark = get_spark(
+        f"local[{cpus}]",
+        shuffle_partitions=max(cpus * 2, 8),
+        extra_conf=extra,
+    )
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     corpus = (
@@ -97,12 +104,12 @@ def measure(cpus: int, repl: int) -> dict:
     indexer.build_segments(
         indexer.build_postings(warm, positions_as="bytes"),
         avgdl=150.0,
-        chunk_docs=CHUNK_DOCS,
+        chunk_docs=chunk_docs,
     ).count()
 
     t0 = time.time()
     postings = indexer.build_postings(corpus, positions_as="bytes")
-    segs = indexer.build_segments(postings, avgdl=150.0, chunk_docs=CHUNK_DOCS)
+    segs = indexer.build_segments(postings, avgdl=150.0, chunk_docs=chunk_docs)
     n_segments = segs.count()
     sec = time.time() - t0
     spark.stop()
@@ -119,10 +126,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--repl", type=int, default=128)
+    ap.add_argument("--chunk-docs", type=int, default=CHUNK_DOCS)
+    ap.add_argument("--codec", default=None)
     args = ap.parse_args()
 
     if args.cpus is not None:
-        print(json.dumps(measure(args.cpus, args.repl)))
+        print(json.dumps(measure(args.cpus, args.repl, args.chunk_docs, args.codec)))
         return
 
     # The sandbox host is shared: per-run throughput varies up to ~2.5x

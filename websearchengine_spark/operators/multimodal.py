@@ -5,17 +5,18 @@ Decode is REAL for the uncompressed container formats a numpy-only
 environment can parse bit-exactly from their public specs:
 
 - images: BMP (24-bit BI_RGB, bottom-up, 4-byte row padding), netpbm
-  P6/P5 (binary PPM/PGM), and PNG (8-bit gray/RGB/palette/RGBA,
+  P6/P5 (binary PPM/PGM), PNG (8-bit gray/RGB/palette/RGBA,
   non-interlaced — DEFLATE via stdlib ``zlib`` + numpy unfiltering of all
-  five scanline filters, no codec library needed);
+  five scanline filters), and GIF 87a/89a (hand-rolled LZW decompressor,
+  variable code widths, interlace) — no codec library anywhere;
 - audio: RIFF/WAVE PCM (8/16-bit, any channel count);
 - video: YUV4MPEG2 (y4m) — uncompressed frame stream with FRAME markers
   (C420/C444/Cmono), the interchange format ffmpeg pipelines emit.
 
-Codecs needing real entropy/transform libraries (JPEG/GIF, MP3,
-MP4/H.264...) raise ``NotImplementedError`` loudly rather than fake an
-answer, as do PNG variants outside the supported subset (16-bit, Adam7
-interlace).  Resize is a real nearest-neighbor
+Codecs needing real entropy/transform stacks this container cannot verify
+(JPEG, MP3, MP4/H.264...) raise ``NotImplementedError`` loudly rather
+than fake an answer, as do PNG variants outside the supported subset
+(16-bit, Adam7 interlace).  Resize is a real nearest-neighbor
 resample (index arithmetic); features are real statistics of decoded
 pixels/samples.
 
@@ -64,7 +65,6 @@ FEATURE_SCHEMA = T.StructType(
 
 _COMPRESSED_MAGICS = {
     b"\xff\xd8\xff": "jpeg",
-    b"GIF8": "gif",
     b"\x00\x00\x00\x18ftyp": "mp4",
     b"\x00\x00\x00\x20ftyp": "mp4",
     b"ID3": "mp3",
@@ -80,7 +80,7 @@ def _reject_compressed(blob: bytes) -> None:
             raise NotImplementedError(
                 f"{name} decode requires a codec library not present in "
                 "this environment; supported real formats: BMP, PPM/PGM, "
-                "PNG (8-bit non-interlaced), PCM WAV, YUV4MPEG2"
+                "PNG (8-bit non-interlaced), GIF, PCM WAV, YUV4MPEG2"
             )
 
 
@@ -103,6 +103,8 @@ def decode_image(blob: bytes) -> np.ndarray:
         return _decode_pnm(blob)
     if blob[:8] == _PNG_SIG:
         return _decode_png(blob)
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(blob)
     raise ValueError(f"unrecognized image container (magic {blob[:4]!r})")
 
 
@@ -159,6 +161,105 @@ def _decode_pnm(blob: bytes) -> np.ndarray:
     if ch == 1:
         px = np.repeat(px, 3, axis=2)
     return px
+
+
+def _decode_gif(blob: bytes) -> np.ndarray:
+    """Real GIF decode (87a/89a) with a hand-rolled LZW decompressor — no
+    codec library.  Parses the logical screen descriptor, global/local
+    color tables, skips extensions, and decodes the FIRST image
+    descriptor (animation frames beyond the first are out of scope for
+    features); handles variable code widths (up to 12 bits), clear/end
+    codes, the KwKwK case, and the 4-pass interlace row order."""
+    w_s, h_s, flags = struct.unpack_from("<HHB", blob, 6)
+    i = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(blob, np.uint8, n * 3, i).reshape(n, 3)
+        i += n * 3
+    while i < len(blob):
+        b0 = blob[i]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while blob[i] != 0:
+                i += 1 + blob[i]
+            i += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"corrupt GIF block 0x{b0:02x}")
+        _left, _top, w, h, iflags = struct.unpack_from("<HHHHB", blob, i + 1)
+        i += 10
+        ct = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            ct = np.frombuffer(blob, np.uint8, n * 3, i).reshape(n, 3)
+            i += n * 3
+        if ct is None:
+            raise ValueError("GIF image without a color table")
+        min_code = blob[i]
+        i += 1
+        data = bytearray()
+        while blob[i] != 0:
+            sz = blob[i]
+            data += blob[i + 1 : i + 1 + sz]
+            i += 1 + sz
+        i += 1
+        idx = _lzw_decode(bytes(data), min_code, w * h)
+        px = ct[np.array(idx[: w * h], dtype=np.int32)].reshape(h, w, 3)
+        if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+            order = np.concatenate(
+                [np.arange(0, h, 8), np.arange(4, h, 8),
+                 np.arange(2, h, 4), np.arange(1, h, 2)]
+            )
+            out = np.empty_like(px)
+            out[order] = px
+            px = out
+        return px.astype(np.float32) / 255.0
+    raise ValueError("GIF has no image descriptor")
+
+
+def _lzw_decode(data: bytes, min_code: int, max_pixels: int) -> list[int]:
+    """GIF-variant LZW: initial code width min_code+1, dictionary grows to
+    4096 entries, CLEAR resets, codes are little-endian bit-packed."""
+    clear = 1 << min_code
+    end = clear + 1
+    bitbuf = bitlen = pos = 0
+    width = min_code + 1
+    dict_: list[list[int]] = [[c] for c in range(clear)] + [[], []]
+    prev: list[int] | None = None
+    out: list[int] = []
+    while len(out) < max_pixels:
+        while bitlen < width:
+            if pos >= len(data):
+                return out  # truncated stream: return what we have
+            bitbuf |= data[pos] << bitlen
+            bitlen += 8
+            pos += 1
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        bitlen -= width
+        if code == clear:
+            dict_ = [[c] for c in range(clear)] + [[], []]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(dict_) and dict_[code]:
+            entry = dict_[code]
+        elif code == len(dict_) and prev is not None:
+            entry = prev + [prev[0]]  # KwKwK
+        else:
+            raise ValueError(f"corrupt LZW code {code}")
+        out.extend(entry)
+        if prev is not None and len(dict_) < 4096:
+            dict_.append(prev + [entry[0]])
+            if len(dict_) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out
 
 
 # PNG color type -> samples per pixel (8-bit depth)
@@ -549,6 +650,98 @@ def encode_png(
         + chunk(b"IDAT", zlib.compress(bytes(lines)))
         + chunk(b"IEND", b"")
     )
+
+
+def encode_gif(
+    indices: np.ndarray, palette: np.ndarray, interlace: bool = False
+) -> bytes:
+    """HxW palette indices + Nx3 palette -> GIF89a (independent writer
+    used by tests).  Runs a REAL compressing LZW encoder (sequence
+    dictionary, growing code widths, mid-stream dictionary reset at 4096)
+    — the forward transform of _lzw_decode, so round-trip equality proves
+    the decoder, including the KwKwK case on repetitive input."""
+    h, w = indices.shape
+    n_pal = len(palette)
+    size_field = max(1, (int(n_pal) - 1).bit_length() - 1)  # 2<<f entries
+    table_n = 2 << size_field
+    pal = np.zeros((table_n, 3), dtype=np.uint8)
+    pal[:n_pal] = palette
+    min_code = max(2, size_field + 1)
+    rows = indices
+    if interlace:
+        order = np.concatenate(
+            [np.arange(0, h, 8), np.arange(4, h, 8),
+             np.arange(2, h, 4), np.arange(1, h, 2)]
+        )
+        rows = indices[order]
+    seq = rows.reshape(-1).tolist()
+
+    clear, end_code = 1 << min_code, (1 << min_code) + 1
+    codes: list[int] = [clear]
+    table: dict[tuple, int] = {(c,): c for c in range(clear)}
+    next_code = end_code + 1
+    run: tuple = ()
+    for s in seq:
+        cand = run + (s,)
+        if cand in table:
+            run = cand
+            continue
+        codes.append(table[run])
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+        else:  # dictionary full: reset mid-stream (decoder must follow)
+            codes.append(clear)
+            table = {(c,): c for c in range(clear)}
+            next_code = end_code + 1
+        run = (s,)
+    if run:
+        codes.append(table[run])
+    codes.append(end_code)
+
+    # bit-pack with the decoder's width schedule: width grows when the
+    # DECODER's dict (one behind the encoder's) fills the current width
+    bitbuf = bitlen = 0
+    width = min_code + 1
+    dec_n = end_code + 1
+    first_after_reset = True
+    packed = bytearray()
+    for c in codes:
+        bitbuf |= c << bitlen
+        bitlen += width
+        while bitlen >= 8:
+            packed.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            bitlen -= 8
+        if c == clear:
+            dec_n, width = end_code + 1, min_code + 1
+            first_after_reset = True
+        elif c != end_code:
+            # the decoder adds one dict entry per code EXCEPT the first
+            # after a reset (it has no prev); width grows when its dict
+            # fills the current width
+            if first_after_reset:
+                first_after_reset = False
+            elif dec_n < 4096:
+                dec_n += 1
+                if dec_n == (1 << width) and width < 12:
+                    width += 1
+    if bitlen:
+        packed.append(bitbuf & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (size_field & 7), 0, 0)
+    out += pal.tobytes()
+    out += struct.pack(
+        "<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0
+    )
+    out.append(min_code)
+    for j in range(0, len(packed), 255):
+        chunk = packed[j : j + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
 
 
 def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
