@@ -213,9 +213,124 @@ def test_gif_skips_extensions():
     assert np.array_equal((got * 255.0).round().astype(np.uint8), pal[idx])
 
 
-def test_compressed_codecs_raise():
+# --------------------------------------------------------------------------
+# JPEG (operators/jpeg.py)
+# --------------------------------------------------------------------------
+
+
+def test_jpeg_dct_matrix_matches_direct_formula():
+    """The decoder's IDCT must equal the Annex A double-cosine sum computed
+    directly (an independent math path, no matrix factoring)."""
+    from websearchengine_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(31)
+    coef = rng.integers(-200, 200, size=(8, 8)).astype(np.float64)
+    got = J._M.T @ coef @ J._M
+    want = np.zeros((8, 8))
+    c = np.ones(8)
+    c[0] = 1 / np.sqrt(2)
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    s += (
+                        c[u] * c[v] * coef[u, v]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            want[x, y] = s / 4.0
+    assert np.allclose(got, want, atol=1e-9)
+
+
+def test_jpeg_blockconstant_bitexact():
+    """With all-ones quant tables a per-block-constant image has only an
+    integral DC coefficient per block — the full pipeline (DCT, quantize,
+    zigzag, Huffman, markers, DC prediction) must round-trip bit-exactly,
+    with and without restart markers."""
+    from websearchengine_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(32)
+    vals = rng.integers(0, 256, size=(3, 4), dtype=np.uint8)
+    gray = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+    assert np.array_equal(J.decode_jpeg(J.encode_jpeg(gray))[..., 0], gray)
+    got = J.decode_jpeg(J.encode_jpeg(gray, restart_interval=2))
+    assert np.array_equal(got[..., 0], gray)
+
+
+def test_jpeg_roundtrip_error_bounds():
+    """q=1 round-trips are bounded by coefficient rounding: ±1 gray level
+    for grayscale, ±2 through the YCbCr transform; non-multiple-of-8
+    sizes exercise edge padding + crop."""
+    from websearchengine_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(33)
+    g = rng.integers(0, 256, size=(17, 23), dtype=np.uint8)
+    got = J.decode_jpeg(J.encode_jpeg(g))[..., 0].astype(int)
+    assert np.abs(got - g.astype(int)).max() <= 1
+    px = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    got3 = J.decode_jpeg(J.encode_jpeg(px)).astype(int)
+    assert np.abs(got3 - px.astype(int)).max() <= 2
+
+
+def test_jpeg_420_subsampling_smooth():
+    """4:2:0 chroma subsampling on a chroma-smooth gradient stays within
+    transform rounding; the decoder must replicate-upsample the half-size
+    chroma planes against a full-size luma."""
+    from websearchengine_spark.operators import jpeg as J
+
+    xx, yy = np.meshgrid(np.arange(32), np.arange(24))
+    smooth = np.stack(
+        [(xx * 3 + yy) % 256, (xx + yy * 2) % 256, (xx * 2 + yy * 2) % 256],
+        -1,
+    ).astype(np.uint8)
+    got = J.decode_jpeg(J.encode_jpeg(smooth, subsample=True)).astype(int)
+    assert np.abs(got - smooth.astype(int)).max() <= 3
+
+
+def test_jpeg_lossy_quant_actually_compresses():
+    """A q=16 table must shrink the entropy stream vs q=1 on the same
+    image (real quantization, not a pass-through) while staying a
+    recognizable image (bounded error on smooth input)."""
+    from websearchengine_spark.operators import jpeg as J
+
+    xx, yy = np.meshgrid(np.arange(32), np.arange(32))
+    smooth = ((np.sin(xx / 5.0) + np.cos(yy / 7.0)) * 60 + 128).astype(np.uint8)
+    hi = J.encode_jpeg(smooth)
+    lo = J.encode_jpeg(smooth, qtable=np.full((8, 8), 16, int))
+    assert len(lo) < len(hi)
+    got = J.decode_jpeg(lo)[..., 0].astype(int)
+    assert np.abs(got - smooth.astype(int)).max() <= 24
+
+
+def test_jpeg_through_decode_image():
+    from websearchengine_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(34)
+    vals = rng.integers(0, 256, size=(2, 2), dtype=np.uint8)
+    gray = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+    got = M.decode_image(J.encode_jpeg(gray))
+    assert got.shape == (16, 16, 3)
+    assert np.array_equal((got[..., 0] * 255.0).round().astype(np.uint8), gray)
+
+
+def test_jpeg_unsupported_variants_raise():
+    from websearchengine_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(35)
+    px = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+    blob = bytearray(J.encode_jpeg(px))
+    at = blob.index(b"\xff\xc0")
+    blob[at + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
     with pytest.raises(NotImplementedError):
-        M.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)  # JPEG
+        J.decode_jpeg(bytes(blob))
+    with pytest.raises(ValueError):
+        J.decode_jpeg(b"\x89PNG not a jpeg")
+
+
+def test_compressed_codecs_raise():
+    with pytest.raises(ValueError):
+        M.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)  # truncated JPEG
     with pytest.raises(NotImplementedError):
         M.decode_audio(b"ID3\x04" + b"\x00" * 32)  # MP3
     with pytest.raises(ValueError):

@@ -43,10 +43,15 @@ N_TRIALS = 3
 PRIMARY_PAIR = (2, 8)   # stays on physical cores — the clean N->4N proxy
 SECONDARY_PAIR = (8, 32)  # crosses the SMT knee; hw ceiling reported
 # the sf0.1 synthetic corpus has a ~31-term vocabulary, so every term is a
-# heavy hitter; chunk_docs=4096 keeps (term, chunk) groups fine-grained
-# enough that the encode stage load-balances (the exact skew bound the
-# chunking exists for)
-CHUNK_DOCS = 4096
+# heavy hitter and (term, chunk) granularity is set by chunk_docs alone.
+# Round-3 A/B at 32 cores (2 interleaved trials x {4096,16384} x
+# {lz4,zstd}): 16384/lz4 won both trials (+12% best-vs-best over
+# 4096/lz4 — fewer, fatter segment groups means fewer shuffle records
+# and fewer per-group encode boundaries) with no regression at 2 cores
+# (13.3k vs 13.0-13.2k docs/s); zstd only helped at small chunks (its
+# extra compress CPU loses once the record count drops).  Per-task
+# postings stay bounded at chunk_docs regardless of term skew.
+CHUNK_DOCS = 16384
 
 
 def _burn(_):

@@ -7,16 +7,20 @@ environment can parse bit-exactly from their public specs:
 - images: BMP (24-bit BI_RGB, bottom-up, 4-byte row padding), netpbm
   P6/P5 (binary PPM/PGM), PNG (8-bit gray/RGB/palette/RGBA,
   non-interlaced — DEFLATE via stdlib ``zlib`` + numpy unfiltering of all
-  five scanline filters), and GIF 87a/89a (hand-rolled LZW decompressor,
-  variable code widths, interlace) — no codec library anywhere;
+  five scanline filters), GIF 87a/89a (hand-rolled LZW decompressor,
+  variable code widths, interlace), and baseline JPEG
+  (operators/jpeg.py: Huffman entropy decode from arbitrary DHT tables,
+  dequant, IDCT, 4:2:0/4:2:2/4:4:4, restart markers) — no codec library
+  anywhere;
 - audio: RIFF/WAVE PCM (8/16-bit, any channel count);
 - video: YUV4MPEG2 (y4m) — uncompressed frame stream with FRAME markers
   (C420/C444/Cmono), the interchange format ffmpeg pipelines emit.
 
 Codecs needing real entropy/transform stacks this container cannot verify
-(JPEG, MP3, MP4/H.264...) raise ``NotImplementedError`` loudly rather
-than fake an answer, as do PNG variants outside the supported subset
-(16-bit, Adam7 interlace).  Resize is a real nearest-neighbor
+(MP3, MP4/H.264...) raise ``NotImplementedError`` loudly rather than fake
+an answer, as do format variants outside the supported subsets (16-bit or
+Adam7-interlaced PNG, progressive/arithmetic/12-bit JPEG).  Resize is a
+real nearest-neighbor
 resample (index arithmetic); features are real statistics of decoded
 pixels/samples.
 
@@ -64,7 +68,6 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 _COMPRESSED_MAGICS = {
-    b"\xff\xd8\xff": "jpeg",
     b"\x00\x00\x00\x18ftyp": "mp4",
     b"\x00\x00\x00\x20ftyp": "mp4",
     b"ID3": "mp3",
@@ -80,7 +83,8 @@ def _reject_compressed(blob: bytes) -> None:
             raise NotImplementedError(
                 f"{name} decode requires a codec library not present in "
                 "this environment; supported real formats: BMP, PPM/PGM, "
-                "PNG (8-bit non-interlaced), GIF, PCM WAV, YUV4MPEG2"
+                "PNG (8-bit non-interlaced), GIF, baseline JPEG, PCM WAV, "
+                "YUV4MPEG2"
             )
 
 
@@ -105,6 +109,10 @@ def decode_image(blob: bytes) -> np.ndarray:
         return _decode_png(blob)
     if blob[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(blob)
+    if blob[:2] == b"\xff\xd8":
+        from websearchengine_spark.operators import jpeg
+
+        return jpeg.decode_jpeg(blob).astype(np.float32) / 255.0
     raise ValueError(f"unrecognized image container (magic {blob[:4]!r})")
 
 
@@ -767,10 +775,13 @@ def encode_y4m(frames: list[np.ndarray], w: int, h: int) -> bytes:
 
 
 def synth_media_df(spark, n: int = 24) -> DataFrame:
-    """Deterministic media table in REAL formats (BMP + PNG / PCM WAV /
-    y4m) — no external data, but every blob round-trips a genuine decoder.
-    Images alternate BMP and PNG (the PNG rows cycle the scanline filter,
-    so the Spark feature path exercises real DEFLATE + unfiltering)."""
+    """Deterministic media table in REAL formats (BMP + PNG + JPEG /
+    PCM WAV / y4m) — no external data, but every blob round-trips a
+    genuine decoder.  Images rotate BMP / PNG / baseline JPEG (PNG rows
+    cycle the scanline filter), so the Spark feature path exercises real
+    DEFLATE inflation, unfiltering, and Huffman+IDCT decode."""
+    from websearchengine_spark.operators import jpeg as _jpeg
+
     rows = []
     kinds = ["image", "audio", "video"]
     mimes = {"image": "image/bmp", "audio": "audio/wav", "video": "video/x-y4m"}
@@ -780,9 +791,14 @@ def synth_media_df(spark, n: int = 24) -> DataFrame:
         if kind == "image":
             w, h = 8 + i % 5, 6 + i % 4
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            if (i // 3) % 2:
+            variant = (i // 3) % 3
+            if variant == 1:
                 blob = encode_png(px, filters=[(i + y) % 5 for y in range(h)])
                 rows.append((i, kind, "image/png", blob, w, h, None))
+                continue
+            if variant == 2:
+                blob = _jpeg.encode_jpeg(px)
+                rows.append((i, kind, "image/jpeg", blob, w, h, None))
                 continue
             blob = encode_bmp(px)
             rows.append((i, kind, mimes[kind], blob, w, h, None))
