@@ -46,3 +46,65 @@ def test_build_and_query(spark, corpus_dir, tmp_path, capsys):
         l for l in capsys.readouterr().out.strip().splitlines() if "\t" in l
     ]
     assert len(plines) <= 5
+
+
+@pytest.fixture(scope="module")
+def http_index(spark, corpus_dir, tmp_path_factory, capsys=None):
+    out = str(tmp_path_factory.mktemp("http_idx"))
+    cli.main(["build", "--corpus", corpus_dir, "--out", out,
+              "--docs-per-part", "16"])
+    return out
+
+
+def test_http_serving_endpoint(spark, http_index):
+    """S10: the resident HTTP endpoint must serve /search with the
+    reference's CGI-arg semantics (QueryHandler.java:85-128 — invalid
+    ranker/num ignored, format=text|html) and return exactly the results
+    of the underlying serve path."""
+    from urllib.request import urlopen
+
+    from websearchengine_spark.serving import IndexServer, serve
+
+    srv = IndexServer(spark, http_index, preload_stats=True)
+    httpd = serve(srv, port=0, background=True)
+    port = httpd.server_address[1]
+    try:
+        base = f"http://127.0.0.1:{port}"
+        body = urlopen(f"{base}/search?query=web+search&num=5").read().decode()
+        lines = [l for l in body.splitlines() if l]
+        assert 0 < len(lines) <= 5
+        q, doc_id, title, score = lines[0].split("\t")
+        assert q == "web search" and int(doc_id) >= 0 and float(score) > 0
+        assert title
+        # identical to the direct serve path
+        want = srv.query("web search", k=5)
+        assert [
+            (int(l.split("\t")[1]), float(l.split("\t")[3])) for l in lines
+        ] == [(d, round(s, 6)) for d, _, s in want]
+        # invalid ranker and num are IGNORED, never an error
+        body2 = urlopen(
+            f"{base}/search?query=web+search&ranker=bogus&num=notanint"
+        ).read().decode()
+        assert body2.splitlines()[0].split("\t")[1] == lines[0].split("\t")[1]
+        # phrase query through HTTP exercises the pruned positional path
+        body3 = urlopen(
+            f"{base}/search?query=%22data+mining%22&num=5"
+        ).read().decode()
+        assert all(
+            l.split("\t")[0] == '"data mining"'
+            for l in body3.splitlines() if l
+        )
+        # html format
+        html_body = urlopen(
+            f"{base}/search?query=web+search&num=2&format=html"
+        ).read().decode()
+        assert html_body.startswith("<!DOCTYPE html>") and "<li>" in html_body
+        # unknown path -> 404
+        import urllib.error
+        try:
+            urlopen(f"{base}/nope")
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        httpd.shutdown()

@@ -1,8 +1,9 @@
-"""spark-submit entry point: build / resume / merge / query / mine.
+"""spark-submit entry point: build / resume / merge / query / mine / serve.
 
 The reference's three modes (mining -> index -> serve,
-SearchEngine.java:138-144) map to subcommands; serving is a batch
-``query`` call (no HTTP — SURVEY.md §2.1 S10 scopes the endpoint out).
+SearchEngine.java:138-144) map to subcommands; serving is available both
+as a batch ``query`` call and as the reference-style resident HTTP
+endpoint (``serve`` -> GET /search, websearchengine_spark/serving.py).
 
 Usage (also works under plain ``python -m websearchengine_spark.cli``):
 
@@ -10,6 +11,7 @@ Usage (also works under plain ``python -m websearchengine_spark.cli``):
   query  --index <index dir> --q "web search" [--k 10] [--mode conjunctive]
   merge  --base <dir> --delta <dir> --out <dir> --avgdl X
   mine   --corpus <parquet dir> --out <dir>          # PageRank + edges
+  serve  --index <index dir> [--port 25805]          # HTTP /search
 
 The corpus parquet must carry the input_hint schema
 (url, warc_ts, html, text, lang) or at least (url, text).
@@ -110,81 +112,35 @@ def cmd_build(args) -> None:
 
 
 def cmd_query(args) -> None:
-    from websearchengine_spark.operators import checkpoint, query as Q, wand
+    # one-shot batch query: IndexServer with preload_stats=False pushes a
+    # per-query isin filter into the term-stats sidecar scan (a 10^9-term
+    # vocabulary never reaches the driver); phrase queries take the
+    # metadata-pruned positional path.  Output is the hw1 result format
+    # query \t docid \t title \t score (hw1 ScoredDocument asString).
+    from websearchengine_spark.serving import IndexServer
 
     spark = _spark(args.cpus)
-    with open(os.path.join(args.index, "stats.json")) as f:
-        stats = json.load(f)
-    cp = checkpoint.IndexCheckpointer(
-        args.index, docs_per_part=stats["docs_per_part"]
+    srv = IndexServer(spark, args.index, preload_stats=False)
+    for doc_id, title, score in srv.query(args.q, k=args.k, mode=args.mode):
+        print(f"{args.q}\t{doc_id}\t{title}\t{score:.6f}")
+
+
+def cmd_serve(args) -> None:
+    # S10 resident HTTP endpoint (SearchEngine.java:200-218 analogue):
+    # segments cached, term stats preloaded into the in-memory serve map,
+    # GET /search?query=...&ranker=...&num=...&format=text|html
+    import threading
+
+    from websearchengine_spark.serving import IndexServer, serve
+
+    spark = _spark(args.cpus)
+    srv = IndexServer(spark, args.index, preload_stats=True)
+    httpd = serve(srv, port=args.port, background=True)
+    print(
+        json.dumps({"serving": "/search", "port": httpd.server_address[1]}),
+        flush=True,
     )
-    segs = cp.segments(spark)
-    tokens, words, phrases = Q.split_tokens(args.q)
-    if phrases:
-        # phrase tokens need positions, but positions are decoded ONLY for
-        # chunks where every phrase word has segments — a metadata-only
-        # prune (Q.token_postings_from_segments) that never touches
-        # posting bytes; pos_bytes decompress just for surviving chunks.
-        # (The isin term filter always sits BELOW the decode UDF —
-        # Catalyst cannot push a predicate through mapInPandas, so
-        # filtering after decode would decompress the whole index.)
-        from websearchengine_spark.operators import score
-
-        tp = Q.token_postings_from_segments(segs, args.q)
-        out = score.topk(
-            score.bm25_scores(
-                tp,
-                tokens,
-                num_docs=stats["num_docs"],
-                avgdl=stats["avgdl"],
-                mode=args.mode,
-            ),
-            args.k,
-        )
-    else:
-        # serve fast path: the term-stats sidecar collects into the
-        # in-memory {term: df} map (bounded by vocabulary; a deployment
-        # with an unbounded vocab skips the sidecar and keeps the
-        # distributed metadata aggregation)
-        term_df = None
-        ts_path = os.path.join(args.index, "term_stats")
-        if os.path.exists(ts_path):
-            from pyspark.sql import functions as F
-
-            # only the query's terms: the isin predicate pushes into the
-            # parquet scan, so a 10^9-term vocabulary never reaches the
-            # driver (a resident server would instead load the map once)
-            term_df = {
-                r.term: r.df
-                for r in spark.read.parquet(ts_path)
-                .where(F.col("term").isin(words))
-                .collect()
-            }
-        out = wand.bm25_topk_segments(
-            segs,
-            words,
-            num_docs=stats["num_docs"],
-            avgdl=stats["avgdl"],
-            k=args.k,
-            mode=args.mode,
-            term_df=term_df,
-            eager=True,
-        )
-    # hw1 result format: query \t docid \t title \t score
-    # (ScoredDocument.java:15-18 asString); title from the docs sidecar
-    docs_path = os.path.join(args.index, "docs")
-    if os.path.exists(docs_path):
-        from pyspark.sql import functions as F
-
-        titles = spark.read.parquet(docs_path)
-        out = out.join(F.broadcast(titles), "doc_id", "left").select(
-            "doc_id", F.coalesce("title", F.lit("")).alias("title"), "score"
-        )
-        for r in out.orderBy(F.desc("score"), F.asc("doc_id")).collect():
-            print(f"{args.q}\t{r.doc_id}\t{r.title}\t{r.score:.6f}")
-    else:
-        for r in out.collect():
-            print(f"{args.q}\t{r.doc_id}\t\t{r.score:.6f}")
+    threading.Event().wait()  # serve until killed
 
 
 def cmd_merge(args) -> None:
@@ -242,6 +198,11 @@ def main(argv=None) -> None:
     g.add_argument("--corpus", required=True)
     g.add_argument("--out", required=True)
     g.set_defaults(fn=cmd_mine)
+
+    s = sub.add_parser("serve")
+    s.add_argument("--index", required=True)
+    s.add_argument("--port", type=int, default=25805)  # reference default
+    s.set_defaults(fn=cmd_serve)
 
     args = ap.parse_args(argv)
     args.fn(args)

@@ -1,0 +1,207 @@
+"""S10 — HTTP serving endpoint over a built index.
+
+The reference serves queries over HTTP (SearchEngine.java:200-218 creates
+an ``HttpServer`` with QueryHandler on ``/search``; QueryHandler.java:54-129
+parses CGI args ``query``/``ranker``/``num``/``format``, ignoring invalid
+values).  This module is the Spark analogue: a resident ``IndexServer``
+holds one SparkSession with the compressed segment table cached and the
+term-stats sidecar loaded into the in-memory ``{term: df}`` map (the
+reference's in-memory serve maps, IndexerInvertedCompressed serve mode),
+so each query is one zero-join Spark job through the WAND fast path; a
+stdlib ``http.server`` front end exposes ``GET /search``.
+
+Output format: the hw1 result line ``query\tdocid\ttitle\tscore``
+(hw1 ScoredDocument asString — the reference project's own asTextResult
+trims to title-only with the full format left commented out,
+ScoredDocument.java:18-29; we keep the informative variant, same as the
+batch CLI).  ``format=html`` wraps the same results in a minimal list
+page, mirroring QueryHandler.java:154-167's text/html split.
+
+Scale note: the resident model is the serve deployment (one long-lived
+session, cached segments, stats map bounded by vocabulary); the batch CLI
+path instead pushes a per-query ``isin`` filter into the sidecar scan so a
+10^9-term vocabulary never reaches the driver — ``preload_stats`` picks
+the mode.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import json
+import os
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from pyspark.sql import functions as F
+
+
+class IndexServer:
+    """Resident query service over a checkpointed index directory."""
+
+    def __init__(self, spark, index_dir: str, preload_stats: bool = True):
+        from websearchengine_spark.operators import checkpoint
+
+        self.spark = spark
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            self.stats = json.load(f)
+        self.cp = checkpoint.IndexCheckpointer(
+            index_dir, docs_per_part=self.stats["docs_per_part"]
+        )
+        self.segs = self.cp.segments(spark)
+        self._stats_path = os.path.join(index_dir, "term_stats")
+        self.term_df: dict | None = None
+        if preload_stats and os.path.exists(self._stats_path):
+            self.segs = self.segs.cache()
+            self.term_df = {
+                r.term: r.df
+                for r in spark.read.parquet(self._stats_path).collect()
+            }
+        docs_path = os.path.join(index_dir, "docs")
+        self.titles = (
+            spark.read.parquet(docs_path)
+            if os.path.exists(docs_path)
+            else None
+        )
+
+    def _term_df_for(self, words: list[str]) -> dict | None:
+        if self.term_df is not None:
+            return self.term_df
+        if not os.path.exists(self._stats_path):
+            return None
+        return {
+            r.term: r.df
+            for r in self.spark.read.parquet(self._stats_path)
+            .where(F.col("term").isin(words))
+            .collect()
+        }
+
+    def query(
+        self, q: str, k: int = 10, mode: str = "conjunctive"
+    ) -> list[tuple[int, str, float]]:
+        """[(doc_id, title, score)] best-first — WAND fast path for word
+        queries, chunk-pruned positional path for phrases."""
+        from websearchengine_spark.operators import query as Q
+        from websearchengine_spark.operators import score, wand
+
+        tokens, words, phrases = Q.split_tokens(q)
+        if not tokens:
+            return []
+        if phrases:
+            tp = Q.token_postings_from_segments(self.segs, q)
+            out = score.topk(
+                score.bm25_scores(
+                    tp,
+                    tokens,
+                    num_docs=self.stats["num_docs"],
+                    avgdl=self.stats["avgdl"],
+                    mode=mode,
+                ),
+                k,
+            )
+        else:
+            out = wand.bm25_topk_segments(
+                self.segs,
+                words,
+                num_docs=self.stats["num_docs"],
+                avgdl=self.stats["avgdl"],
+                k=k,
+                mode=mode,
+                term_df=self._term_df_for(words),
+                eager=True,
+            )
+        if self.titles is not None:
+            out = out.join(F.broadcast(self.titles), "doc_id", "left").select(
+                "doc_id",
+                F.coalesce("title", F.lit("")).alias("title"),
+                "score",
+            )
+        else:
+            out = out.select("doc_id", F.lit("").alias("title"), "score")
+        rows = out.orderBy(F.desc("score"), F.asc("doc_id")).collect()
+        return [(int(r.doc_id), r.title, float(r.score)) for r in rows]
+
+
+_RANKERS = {"conjunctive", "disjunctive"}
+
+
+def make_handler(server: IndexServer):
+    """BaseHTTPRequestHandler bound to one IndexServer — CGI-arg semantics
+    per QueryHandler.java:85-128: unknown/invalid values are ignored, the
+    engine never fails on user input."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 (stdlib API name)
+            u = urlparse(self.path)
+            if u.path != "/search":
+                self._respond(404, "text/plain", "not found: use /search")
+                return
+            params = parse_qs(u.query)
+
+            def first(key, default=""):
+                return params.get(key, [default])[0]
+
+            q = first("query")
+            mode = first("ranker", "conjunctive").lower()
+            if mode not in _RANKERS:
+                mode = "conjunctive"  # invalid ranker ignored
+            try:
+                k = int(first("num", "10"))
+            except ValueError:
+                k = 10  # invalid num ignored
+            fmt = first("format", "text").lower()
+            try:
+                results = server.query(q, k=k, mode=mode)
+            except Exception as e:  # never fail on user input
+                self._respond(500, "text/plain", f"query failed: {e}")
+                return
+            if fmt == "html":
+                items = "".join(
+                    f"<li>{doc_id}\t{_html.escape(title)}\t{s:.6f}</li>"
+                    for doc_id, title, s in results
+                )
+                body = (
+                    "<!DOCTYPE html><html><body><ul>"
+                    f"{items}</ul></body></html>"
+                )
+                self._respond(200, "text/html", body)
+            else:
+                body = "\n".join(
+                    f"{q}\t{doc_id}\t{title}\t{s:.6f}"
+                    for doc_id, title, s in results
+                )
+                self._respond(200, "text/plain", body)
+
+        def _respond(self, code: int, ctype: str, body: str) -> None:
+            data = body.encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, fmt, *args):  # quiet test runs
+            pass
+
+    return Handler
+
+
+def serve(
+    server: IndexServer, port: int = 25805, background: bool = False
+) -> ThreadingHTTPServer:
+    """Start the HTTP front end (reference default port 25805,
+    SearchEngine.java options).  ``port=0`` binds an ephemeral port;
+    ``background=True`` serves from a daemon thread (tests) and returns
+    the live ``ThreadingHTTPServer`` (its ``.server_address`` carries the
+    bound port)."""
+    httpd = ThreadingHTTPServer(("127.0.0.1", port), make_handler(server))
+    if background:
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        return httpd
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return httpd
