@@ -263,6 +263,19 @@ def main() -> None:
     times["phrase_full_p50"] = round(sorted(flat)[1], 3)
     times["phrase_pruned_p50"] = round(sorted(plat)[1], 3)
 
+    # --- multimodal feature extraction: real decode (BMP/PNG/JPEG/WAV/y4m)
+    # map-side via mapInPandas; count() executes the full UDF (Python runs
+    # per batch regardless of projection) ---
+    from websearchengine_spark.operators import multimodal as MM
+
+    media = MM.synth_media_df(spark, 192).cache()
+    n_media = media.count()
+    t0 = time.time()
+    MM.extract_features(media).count()
+    mm_sec = time.time() - t0
+    times["multimodal_features"] = round(mm_sec, 3)
+    media.unpersist()
+
     cached.unpersist()
     segs_cached.unpersist()
 
@@ -282,6 +295,9 @@ def main() -> None:
                 "n_docs": n_docs,
                 "n_segments": n_segments,
                 "bm25_p95_ms": round(p95 * 1000, 1),
+                "media_rows_per_sec": round(n_media / mm_sec, 1)
+                if mm_sec > 0
+                else None,
                 "cpus": CPUS,
             }
         )
