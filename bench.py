@@ -55,6 +55,8 @@ HEADLINE = [
     "events_sessionize",
     "ctr_fold",
     "top_terms_prf",
+    "ngram_counts",
+    "repetition_score",
 ]
 
 

@@ -1,0 +1,75 @@
+"""Corpus-level training-data statistics (operators/corpus_stats.py):
+hand-computed n-gram/repetition/contamination/mixture values on crafted
+docs; the sf-scale DuckDB oracles live in the driver gate registry."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from websearchengine_spark.operators import corpus_stats as CS
+
+
+@pytest.fixture(scope="module")
+def crafted(spark):
+    rows = [
+        (0, "a b c a b", "web", 9),
+        (1, "a b a b a b", "web", 11),     # heavy bigram repetition
+        (2, "x", "books", 1),               # shorter than any n-gram
+        (3, "", "books", 0),                # empty text
+        (4, "c a b c", "code", 7),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    )
+
+
+def test_ngrams_col_edges(spark, crafted):
+    got = {
+        r.doc_id: r.g
+        for r in crafted.select(
+            "doc_id", CS.ngrams_col(2).alias("g")
+        ).collect()
+    }
+    assert got[0] == ["a b", "b c", "c a", "a b"]
+    assert got[2] == []  # 1 token -> no bigrams (NOT a [0,-1] sequence)
+    assert got[3] == []  # empty text
+    assert got[4] == ["c a", "a b", "b c"]
+
+
+def test_ngram_counts_values(spark, crafted):
+    rows = {r.ngram: (r.cnt, r.df) for r in CS.ngram_counts(crafted, 2, 10).collect()}
+    # "a b": doc0 x2, doc1 x3, doc4 x1 -> cnt 6, df 3
+    assert rows["a b"] == (6, 3)
+    assert rows["b a"] == (2, 1)
+    assert rows["b c"] == (2, 2)
+
+
+def test_repetition_scores_values(spark, crafted):
+    got = {r.doc_id: r for r in CS.repetition_scores(crafted, 3).collect()}
+    # doc1 trigrams: aba bab aba bab -> 4 total, 2 distinct -> 0.5
+    assert (got[1].n_ngrams, got[1].n_distinct) == (4, 2)
+    assert got[1].rep_score == pytest.approx(0.5)
+    # short/empty docs present with zero score
+    assert got[2].n_ngrams == 0 and got[2].rep_score == 0.0
+    assert got[3].n_ngrams == 0 and got[3].rep_score == 0.0
+    # doc0 trigrams: abc bca cab -> all distinct -> 0
+    assert got[0].rep_score == 0.0
+
+
+def test_contamination_overlap_planted(spark, crafted):
+    probes = CS.probe_ngrams_of_doc(crafted, 0, 2)  # doc0's distinct bigrams
+    assert probes == ["a b", "b c", "c a"]
+    got = {r.doc_id: r for r in CS.contamination_overlap(crafted, probes, 2).collect()}
+    assert got[0].n_hits == 4  # itself
+    assert got[1].n_hits == 3 and got[1].n_probes_hit == 1   # "a b" x3
+    assert got[4].n_hits == 3 and got[4].n_probes_hit == 3
+    assert 2 not in got and 3 not in got  # no n-grams -> never flagged
+
+
+def test_source_mix_values(spark, crafted):
+    got = {r.source: r for r in CS.source_mix(crafted).collect()}
+    assert got["web"].n_docs == 2 and got["web"].n_tokens == 11
+    assert got["books"].n_docs == 2 and got["books"].n_tokens == 1
+    assert got["web"].n_chars == 20
+    assert got["code"].avg_chars == pytest.approx(7.0)

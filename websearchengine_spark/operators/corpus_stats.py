@@ -1,0 +1,124 @@
+"""Corpus-level statistics operators for LLM training-data pipelines.
+
+Beyond per-doc filters (lang_id / quality_score / token_count in the
+registry), a data pipeline needs corpus-shape statistics before training:
+
+- ``ngram_counts`` — global n-gram frequencies (vocabulary curricula,
+  tokenizer training, heavy-hitter analysis).  Map-side n-gram generation
+  from the token array (one ``transform`` over slice offsets — no join,
+  no window), then ONE groupBy; the same (key-bounded aggregation)
+  shuffle shape as term_stats, so it scales the same way.
+- ``repetition_scores`` — per-doc duplicate n-gram fraction, the Gopher /
+  MassiveText repetition filter: score = 1 - distinct/total n-grams.
+  Explode + one groupBy(doc); no cross-doc state.
+- ``contamination_overlap`` — benchmark-decontamination screen: flag docs
+  sharing n-grams with a probe set (the standard train/test overlap
+  check).  The probe set is driver-size by construction (a benchmark is
+  tiny next to a corpus); it broadcasts into an ``isin`` filter that
+  prunes BEFORE the aggregation, so the shuffle carries only hits.
+- ``source_mix`` — per-source doc/token/char mixture report (the data-mix
+  table every training run is configured from).  One groupBy(source).
+
+All are pure Catalyst column expressions over the SQL-expressible gate
+tokenizer (dedup.tokens_col) — no UDFs — and each has a DuckDB oracle in
+plans/registry_ext.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from websearchengine_spark.operators.dedup import tokens_col
+
+
+def _toks_clean() -> F.Column:
+    return F.filter(tokens_col(), lambda x: x != F.lit(""))
+
+
+def ngrams_col(n: int) -> F.Column:
+    """array<string> of space-joined word n-grams — map-side transform
+    over slice offsets of the token array (no explode-join).  The
+    short-doc branch must be explicit: ``sequence(0, -1)`` would count
+    DOWN ([0, -1]), not produce an empty array."""
+    toks = _toks_clean()
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + F.lit(j + 1)) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_counts(docs: DataFrame, n: int = 2, k: int = 100) -> DataFrame:
+    """(ngram, cnt, df) — top-k corpus n-grams by total count (ties:
+    ngram asc).  df = number of docs containing the n-gram."""
+    grams = docs.select(
+        "doc_id", F.explode(ngrams_col(n)).alias("ngram")
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.count_distinct("doc_id").cast("long").alias("df"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("ngram"))
+        .limit(k)
+    )
+
+
+def repetition_scores(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, n_ngrams, n_distinct, rep_score) — duplicate n-gram
+    fraction per doc (Gopher repetition filter); docs shorter than n
+    tokens score 0 with n_ngrams = 0."""
+    grams = docs.select("doc_id", F.explode_outer(ngrams_col(n)).alias("g"))
+    agg = grams.groupBy("doc_id").agg(
+        F.count("g").cast("long").alias("n_ngrams"),
+        F.count_distinct("g").cast("long").alias("n_distinct"),
+    )
+    score = F.when(
+        F.col("n_ngrams") > 0,
+        F.round(1.0 - F.col("n_distinct") / F.col("n_ngrams"), 6),
+    ).otherwise(F.lit(0.0))
+    return agg.select("doc_id", "n_ngrams", "n_distinct",
+                      score.alias("rep_score"))
+
+
+def contamination_overlap(
+    docs: DataFrame, probes: list[str], n: int = 5
+) -> DataFrame:
+    """(doc_id, n_hits, n_probes_hit) — docs sharing any probe n-gram.
+    ``probes`` is the benchmark's n-gram set (driver-size; broadcasts into
+    the isin filter below the aggregation, so non-hits never shuffle)."""
+    grams = docs.select("doc_id", F.explode(ngrams_col(n)).alias("g"))
+    hits = grams.where(F.col("g").isin(probes))
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.count_distinct("g").cast("long").alias("n_probes_hit"),
+    )
+
+
+def probe_ngrams_of_doc(docs: DataFrame, doc_id: int, n: int = 5) -> list[str]:
+    """Deterministic probe set: the distinct n-grams of one document
+    (stands in for a held-out benchmark; bounded by that doc's length)."""
+    row = (
+        docs.where(F.col("doc_id") == doc_id)
+        .select(F.array_distinct(ngrams_col(n)).alias("g"))
+        .head()
+    )
+    return sorted(row.g) if row else []
+
+
+def source_mix(docs: DataFrame) -> DataFrame:
+    """(source, n_docs, n_tokens, n_chars, avg_chars) — the per-domain
+    mixture table a training run's sampling weights are set from."""
+    toks = _toks_clean()
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(toks)).cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from websearchengine_spark.operators import dedup, mining, similarity
+from websearchengine_spark.operators import corpus_stats, dedup, mining, similarity
 from websearchengine_spark.plans import registry as R
 
 N_MINHASH = dedup.N_MINHASH
@@ -752,6 +752,108 @@ FROM b, i"""
 
 
 # --------------------------------------------------------------------------
+# corpus-level training-data statistics (operators/corpus_stats.py)
+# --------------------------------------------------------------------------
+
+NGRAM_N = 2
+REP_N = 3
+CONTAM_N = 5
+CONTAM_PROBE_DOC = 0
+
+# DuckDB n-gram list from the shared gate tokenizer: 1-based list indexing,
+# generate_series(1, 0) is empty so short docs fall out naturally
+def _sql_ngram_list(n: int) -> str:
+    join = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    return (
+        f"list_transform(generate_series(1, len(toks) - {n - 1}), i -> {join})"
+    )
+
+
+_SQL_TOKS_CTE_DOCS = f"""t AS (
+  SELECT doc_id, source, n_chars,
+         list_filter({R._SQL_TOKS}, x -> x <> '') AS toks
+  FROM documents
+)"""
+
+
+def q_ngram_counts(spark, sf_dir):
+    """Global n-gram frequencies (tokenizer training / vocabulary
+    curricula): map-side bigram generation from the token array, one
+    key-bounded groupBy — the term_stats shuffle shape."""
+    return corpus_stats.ngram_counts(_docs(spark, sf_dir), NGRAM_N, 100)
+
+
+SQL_NGRAM_COUNTS = f"""WITH {_SQL_TOKS_CTE_DOCS},
+g AS (
+  SELECT doc_id, unnest({_sql_ngram_list(NGRAM_N)}) AS ngram
+  FROM t WHERE len(toks) >= {NGRAM_N}
+)
+SELECT ngram, count(*)::BIGINT AS cnt, count(DISTINCT doc_id)::BIGINT AS df
+FROM g GROUP BY ngram
+ORDER BY cnt DESC, ngram ASC LIMIT 100"""
+
+
+def q_repetition_score(spark, sf_dir):
+    """Gopher/MassiveText repetition filter: per-doc duplicate-trigram
+    fraction; short docs score 0."""
+    return corpus_stats.repetition_scores(_docs(spark, sf_dir), REP_N)
+
+
+SQL_REPETITION_SCORE = f"""WITH {_SQL_TOKS_CTE_DOCS},
+g AS (
+  SELECT doc_id, unnest({_sql_ngram_list(REP_N)}) AS g
+  FROM t WHERE len(toks) >= {REP_N}
+),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_ngrams,
+         count(DISTINCT g)::BIGINT AS n_distinct
+  FROM g GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_ngrams, 0) AS n_ngrams,
+       coalesce(a.n_distinct, 0) AS n_distinct,
+       coalesce(round(1.0 - a.n_distinct / a.n_ngrams::DOUBLE, 6), 0.0)
+         AS rep_score
+FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+
+def q_contamination_check(spark, sf_dir):
+    """Benchmark-decontamination screen: docs sharing any 5-gram with the
+    probe set (doc 0's distinct 5-grams stand in for a held-out
+    benchmark).  The probe set is driver-size by construction and
+    broadcasts into an isin filter below the aggregation."""
+    docs = _docs(spark, sf_dir)
+    probes = corpus_stats.probe_ngrams_of_doc(docs, CONTAM_PROBE_DOC, CONTAM_N)
+    return corpus_stats.contamination_overlap(docs, probes, CONTAM_N)
+
+
+SQL_CONTAMINATION_CHECK = f"""WITH {_SQL_TOKS_CTE_DOCS},
+g AS (
+  SELECT doc_id, unnest({_sql_ngram_list(CONTAM_N)}) AS ngram
+  FROM t WHERE len(toks) >= {CONTAM_N}
+),
+p AS (SELECT DISTINCT ngram AS probe FROM g WHERE doc_id = {CONTAM_PROBE_DOC}),
+hits AS (SELECT g.doc_id, g.ngram FROM g JOIN p ON g.ngram = p.probe)
+SELECT doc_id, count(*)::BIGINT AS n_hits,
+       count(DISTINCT ngram)::BIGINT AS n_probes_hit
+FROM hits GROUP BY doc_id"""
+
+
+def q_source_mix(spark, sf_dir):
+    """Per-source data-mixture report (docs/tokens/chars) — the table a
+    training run's sampling weights are configured from."""
+    return corpus_stats.source_mix(_docs(spark, sf_dir))
+
+
+SQL_SOURCE_MIX = f"""WITH {_SQL_TOKS_CTE_DOCS}
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(len(toks))::BIGINT AS n_tokens,
+       sum(n_chars)::BIGINT AS n_chars,
+       round(avg(n_chars), 6) AS avg_chars
+FROM t GROUP BY source"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -773,4 +875,8 @@ EXT_REGISTRY = {
     "ctr_fold": (q_ctr_fold, SQL_CTR_FOLD),
     "eval_metrics": (q_eval_metrics, SQL_EVAL_METRICS),
     "wand_bm25_topk": (q_wand_bm25_topk, SQL_WAND_BM25_TOPK),
+    "ngram_counts": (q_ngram_counts, SQL_NGRAM_COUNTS),
+    "repetition_score": (q_repetition_score, SQL_REPETITION_SCORE),
+    "contamination_check": (q_contamination_check, SQL_CONTAMINATION_CHECK),
+    "source_mix": (q_source_mix, SQL_SOURCE_MIX),
 }
