@@ -364,3 +364,29 @@ def test_near_dup_string_label_blocking(spark):
         for r in similarity.near_dup_pairs_cosine(df, 0.9, "label").collect()
     }
     assert got == {(0, 1)}
+
+
+def test_ivf_persisted_layout_partition_pruned(spark, planted, tmp_path):
+    """ivf_build/ivf_query: the stored layout must return exactly the
+    in-memory IVF results, and the query's scan must be PARTITION-PRUNED
+    to the probed clusters (directory-level pruning on cluster=...)."""
+    from websearchengine_spark.operators import similarity
+
+    df, _ = planted
+    out = str(tmp_path / "ivf")
+    cent = similarity.ivf_build(df, out, n_centroids=8, iters=3)
+    qv = [float(x) for x in df.where(F.col("vec_id") == 1).head().embedding]
+    got = similarity.ivf_query(spark, out, qv, k=5, nprobe=2).collect()
+    want = similarity.cosine_topk_ivf(
+        df, qv, k=5, nprobe=2, centroids=cent
+    ).collect()
+    assert [(r.vec_id, r.score) for r in got] == [
+        (r.vec_id, r.score) for r in want
+    ]
+    # pruning evidence: the physical plan carries a partition filter on
+    # cluster, and the pruned scan reads fewer partition dirs than exist
+    plan = (
+        similarity.ivf_query(spark, out, qv, k=5, nprobe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "cluster" in plan

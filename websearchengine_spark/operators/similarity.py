@@ -280,6 +280,59 @@ def cosine_topk_ivf(
     return cosine_topk_bruteforce(cand, query_vec, k)
 
 
+def ivf_build(
+    embeddings: DataFrame,
+    out_dir: str,
+    n_centroids: int = IVF_CENTROIDS,
+    iters: int = IVF_ITERS,
+    seed: int = HLSH_SEED,
+):
+    """Persist the IVF layout: train, assign, and write vectors
+    partitioned BY CLUSTER (``vectors/cluster=<c>/``) with the k x dim
+    centroid matrix as a parquet sidecar.  This is the at-scale shape the
+    in-memory path's docstrings promise: a query reads only its nprobe
+    cluster partitions — directory-level partition pruning, the same
+    mechanism as the postings term-bucket — instead of scanning and
+    re-assigning the corpus.  Returns the trained centroids."""
+    spark = embeddings.sparkSession
+    cent = ivf_train(embeddings, n_centroids, iters, seed)
+    ivf_assign(embeddings, cent).write.mode("overwrite").partitionBy(
+        "cluster"
+    ).parquet(f"{out_dir}/vectors")
+    spark.createDataFrame(
+        [(int(i), [float(v) for v in row]) for i, row in enumerate(cent)],
+        "cluster int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{out_dir}/centroids")
+    return cent
+
+
+def ivf_query(
+    spark,
+    out_dir: str,
+    query_vec: list[float],
+    k: int = 20,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Top-k over a persisted IVF layout: load the (k x dim) centroid
+    sidecar driver-side, pick the nprobe nearest clusters, and scan ONLY
+    those partitions (`cluster IN (...)` prunes at the directory level —
+    verify with .explain(): PartitionFilters on the vectors scan)."""
+    import numpy as np
+
+    rows = sorted(
+        spark.read.parquet(f"{out_dir}/centroids").collect(),
+        key=lambda r: r.cluster,
+    )
+    cent = np.array([r.centroid for r in rows], dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    probes = [int(c) for c in np.argsort(-(cent @ q))[: max(1, nprobe)]]
+    cand = spark.read.parquet(f"{out_dir}/vectors").where(
+        F.col("cluster").isin(probes)
+    )
+    return cosine_topk_bruteforce(cand, query_vec, k)
+
+
 def near_dup_pairs_cosine(
     embeddings: DataFrame,
     threshold: float = 0.95,
