@@ -328,6 +328,103 @@ def test_jpeg_unsupported_variants_raise():
         J.decode_jpeg(b"\x89PNG not a jpeg")
 
 
+# --------------------------------------------------------------------------
+# container probe (header-only metadata)
+# --------------------------------------------------------------------------
+
+
+def _mp4_box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def _craft_mp4(w=640, h=360, timescale=1000, duration=2500) -> bytes:
+    mvhd = b"\x00\x00\x00\x00" + struct.pack(">II", 0, 0) + struct.pack(
+        ">II", timescale, duration
+    ) + b"\x00" * 80
+    tkhd = b"\x00\x00\x00\x00" + b"\x00" * 72 + struct.pack(
+        ">II", w << 16, h << 16
+    )
+    moov = _mp4_box(b"mvhd", mvhd) + _mp4_box(b"trak", _mp4_box(b"tkhd", tkhd))
+    return _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isom") + _mp4_box(
+        b"moov", moov
+    )
+
+
+def _craft_mp3(n_frames=3) -> bytes:
+    # MPEG-1 Layer III, 128 kbit/s (idx 9), 44100 Hz (idx 0), no padding:
+    # frame length 144*128000/44100 = 417 bytes
+    frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 413
+    return b"ID3" + b"\x04\x00\x00" + b"\x00\x00\x00\x0a" + b"\x00" * 10 \
+        + frame * n_frames
+
+
+def test_probe_image_formats():
+    rng = np.random.default_rng(41)
+    px = rng.integers(0, 256, size=(6, 9, 3), dtype=np.uint8)
+    assert M.probe_media(M.encode_bmp(px)) == {
+        "container": "bmp", "width": 9, "height": 6}
+    assert M.probe_media(M.encode_png(px)) == {
+        "container": "png", "width": 9, "height": 6}
+    pal = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = rng.integers(0, 4, size=(6, 9), dtype=np.uint8)
+    assert M.probe_media(M.encode_gif(idx, pal)) == {
+        "container": "gif", "width": 9, "height": 6}
+    from websearchengine_spark.operators import jpeg as J
+
+    got = M.probe_media(J.encode_jpeg(px))
+    assert (got["container"], got["width"], got["height"]) == ("jpeg", 9, 6)
+    assert got["progressive"] is False
+
+
+def test_probe_av_formats():
+    t = np.arange(8820) / 44100.0  # 200 ms
+    wav = M.probe_media(M.encode_wav(0.1 * np.sin(880 * t), 44100))
+    assert wav["container"] == "wav" and wav["duration_ms"] == 200
+    frames = [np.zeros((4, 6), dtype=np.uint8)] * 5
+    y4m = M.probe_media(M.encode_y4m(frames, 6, 4))
+    assert y4m["container"] == "y4m" and y4m["n_frames"] == 5
+    assert y4m["duration_ms"] == 200  # 5 frames at F25:1
+
+
+def test_probe_mp4_box_walk():
+    got = M.probe_media(_craft_mp4())
+    assert got["container"] == "mp4" and got["brand"] == "isom"
+    assert (got["width"], got["height"]) == (640, 360)
+    assert got["duration_ms"] == 2500 and got["n_tracks"] == 1
+    with pytest.raises(ValueError):
+        M.probe_media(_mp4_box(b"ftyp", b"isom") + _mp4_box(b"moov", b""))
+
+
+def test_probe_mp3_frame_walk():
+    got = M.probe_media(_craft_mp3(3))
+    assert got["container"] == "mp3" and got["n_frames"] == 3
+    assert got["sample_rate"] == 44100 and got["cbr_kbps"] == 128
+    assert got["duration_ms"] == int(3 * 1152 * 1000 / 44100)
+    # decode of the same blob still honestly refuses
+    with pytest.raises(NotImplementedError):
+        M.decode_audio(_craft_mp3(1))
+
+
+def test_probe_media_df(spark, media):
+    out = {r.media_id: r for r in M.probe_media_df(media).collect()}
+    src = {r.media_id: r for r in media.collect()}
+    assert len(out) == len(src)
+    for mid, r in out.items():
+        assert r.probe_error is None, r
+        if src[mid].kind == "image":
+            assert (r.width, r.height) == (src[mid].width, src[mid].height)
+        elif src[mid].kind == "audio":
+            assert r.container == "wav" and r.duration_ms is not None
+        else:
+            assert r.container == "y4m"
+    # corrupt blob reports its error instead of failing the job
+    bad = spark.createDataFrame(
+        [(999, "image", None, b"????", None, None, None)], M.MEDIA_SCHEMA
+    )
+    row = M.probe_media_df(bad).head()
+    assert row.probe_error and row.container is None
+
+
 def test_compressed_codecs_raise():
     with pytest.raises(ValueError):
         M.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)  # truncated JPEG

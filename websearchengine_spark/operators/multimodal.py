@@ -494,6 +494,233 @@ def y4m_frames(blob: bytes, n_frames: int) -> list[np.ndarray]:
 
 
 # --------------------------------------------------------------------------
+# container probe: cheap REAL metadata without decoding payloads
+# --------------------------------------------------------------------------
+
+MP3_BITRATES_V1L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                     224, 256, 320, 0]  # kbit/s, MPEG-1 Layer III
+MP3_RATES = {0: 44100, 1: 48000, 2: 32000}
+
+
+def probe_media(blob: bytes) -> dict:
+    """Header-only metadata probe: container, dimensions, duration —
+    parsed from real header math, never by decoding payload frames.  The
+    cheap first pass a pipeline runs before deciding what to decode;
+    covers everything decode_* handles PLUS the compressed containers
+    whose payloads we honestly refuse to decode (MP4 ISO-BMFF box walk,
+    MP3 frame-header walk with ID3v2 skip)."""
+    blob = bytes(blob)
+    if not blob:
+        raise ValueError("empty media blob")
+    if blob[:2] == b"BM":
+        w = struct.unpack_from("<i", blob, 18)[0]
+        h = abs(struct.unpack_from("<i", blob, 22)[0])
+        return {"container": "bmp", "width": w, "height": h}
+    if blob[:8] == _PNG_SIG:
+        w, h = struct.unpack_from(">II", blob, 16)  # IHDR is first chunk
+        return {"container": "png", "width": int(w), "height": int(h)}
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack_from("<HH", blob, 6)
+        return {"container": "gif", "width": w, "height": h}
+    if blob[:2] in (b"P6", b"P5"):
+        px = _decode_pnm(blob)  # header parse dominates; tiny fixtures only
+        return {"container": "pnm", "width": px.shape[1], "height": px.shape[0]}
+    if blob[:2] == b"\xff\xd8":
+        return _probe_jpeg(blob)
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        samples, rate = decode_audio(blob)
+        return {
+            "container": "wav",
+            "duration_ms": int(len(samples) * 1000 / rate),
+            "channels": samples.shape[1],
+        }
+    if blob.startswith(b"YUV4MPEG2"):
+        return _probe_y4m(blob)
+    if len(blob) >= 12 and blob[4:8] == b"ftyp":
+        return _probe_mp4(blob)
+    if blob[:3] == b"ID3" or (
+        len(blob) >= 2 and blob[0] == 0xFF and (blob[1] & 0xE0) == 0xE0
+    ):
+        return _probe_mp3(blob)
+    raise ValueError(f"unrecognized media container (magic {blob[:8]!r})")
+
+
+def _probe_jpeg(blob: bytes) -> dict:
+    i = 2
+    while i + 4 <= len(blob):
+        if blob[i] != 0xFF:
+            break
+        marker = blob[i + 1]
+        if marker in range(0xC0, 0xD0) and marker not in (0xC4, 0xC8, 0xCC):
+            h, w = struct.unpack_from(">HH", blob, i + 5)
+            return {"container": "jpeg", "width": int(w), "height": int(h),
+                    "progressive": marker == 0xC2}
+        if marker == 0xD9 or marker == 0xDA:
+            break
+        i += 2 + struct.unpack_from(">H", blob, i + 2)[0]
+    raise ValueError("JPEG without a frame header")
+
+
+def _probe_y4m(blob: bytes) -> dict:
+    eol = blob.index(b"\n")
+    w = h = None
+    num, den = 25, 1
+    for tok in blob[9:eol].split():
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"F":
+            num, den = (int(x) for x in tok[1:].split(b":"))
+    n_frames = blob.count(b"FRAME", eol)
+    return {
+        "container": "y4m", "width": w, "height": h, "n_frames": n_frames,
+        "duration_ms": int(n_frames * 1000 * den / num) if num else None,
+    }
+
+
+def _probe_mp4(blob: bytes) -> dict:
+    """ISO BMFF box walk: mvhd -> timescale/duration, first video tkhd ->
+    16.16 fixed-point width/height.  Boxes are (size:u32, type:4cc);
+    size 1 = 64-bit largesize; containers moov/trak/mdia nest."""
+
+    def walk(lo: int, hi: int):
+        i = lo
+        while i + 8 <= hi:
+            size = struct.unpack_from(">I", blob, i)[0]
+            btype = blob[i + 4 : i + 8]
+            body = i + 8
+            if size == 1:
+                size = struct.unpack_from(">Q", blob, i + 8)[0]
+                body = i + 16
+            elif size == 0:
+                size = hi - i
+            if size < 8:
+                raise ValueError("corrupt MP4 box size")
+            yield btype, body, i + size
+            i += size
+
+    out: dict = {"container": "mp4", "brand": blob[8:12].decode("ascii",
+                                                               "replace")}
+    n_tracks = 0
+    for btype, body, end in walk(0, len(blob)):
+        if btype != b"moov":
+            continue
+        for b2, body2, end2 in walk(body, end):
+            if b2 == b"mvhd":
+                ver = blob[body2]
+                if ver == 1:
+                    ts, dur = struct.unpack_from(">IQ", blob, body2 + 20)
+                else:
+                    ts, dur = struct.unpack_from(">II", blob, body2 + 12)
+                if ts:
+                    out["duration_ms"] = int(dur * 1000 / ts)
+            elif b2 == b"trak":
+                n_tracks += 1
+                for b3, body3, _e3 in walk(body2, end2):
+                    if b3 != b"tkhd":
+                        continue
+                    # tkhd width/height: after version/flags, times
+                    # (4+4 or 8+8), track_id+reserved+duration, 8
+                    # reserved, layer/alt/volume/reserved, 36-byte matrix
+                    ver = blob[body3]
+                    off = body3 + (88 if ver == 1 else 76)
+                    w16, h16 = struct.unpack_from(">II", blob, off)
+                    if w16 and h16 and "width" not in out:
+                        out["width"] = w16 >> 16
+                        out["height"] = h16 >> 16
+    out["n_tracks"] = n_tracks
+    if n_tracks == 0:
+        raise ValueError("MP4 without moov/trak metadata")
+    return out
+
+
+def _probe_mp3(blob: bytes) -> dict:
+    """Walk MPEG-1 Layer III frame headers (sync 11 bits, bitrate/rate
+    indices, padding) — frame count x 1152 samples gives the real
+    duration; ID3v2 prefix skipped via its syncsafe size."""
+    i = 0
+    if blob[:3] == b"ID3":
+        size = 0
+        for b in blob[6:10]:
+            size = (size << 7) | (b & 0x7F)
+        i = 10 + size
+    n_frames = 0
+    rate = None
+    bitrates = set()
+    while i + 4 <= len(blob):
+        if blob[i] != 0xFF or (blob[i + 1] & 0xE0) != 0xE0:
+            break
+        version = (blob[i + 1] >> 3) & 0x3
+        layer = (blob[i + 1] >> 1) & 0x3
+        if version != 3 or layer != 1:  # MPEG-1 Layer III only
+            raise NotImplementedError(
+                "only MPEG-1 Layer III mp3 framing supported"
+            )
+        br_idx = (blob[i + 2] >> 4) & 0xF
+        sr_idx = (blob[i + 2] >> 2) & 0x3
+        pad = (blob[i + 2] >> 1) & 0x1
+        if br_idx in (0, 15) or sr_idx == 3:
+            raise ValueError("invalid mp3 frame header")
+        rate = MP3_RATES[sr_idx]
+        kbps = MP3_BITRATES_V1L3[br_idx]
+        bitrates.add(kbps)
+        frame_len = 144 * kbps * 1000 // rate + pad
+        n_frames += 1
+        i += frame_len
+    if n_frames == 0:
+        raise ValueError("no mp3 frames found")
+    return {
+        "container": "mp3",
+        "n_frames": n_frames,
+        "sample_rate": rate,
+        "duration_ms": int(n_frames * 1152 * 1000 / rate),
+        "cbr_kbps": bitrates.pop() if len(bitrates) == 1 else None,
+    }
+
+
+PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("container", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("probe_error", T.StringType(), True),
+    ]
+)
+
+
+def probe_media_df(media: DataFrame) -> DataFrame:
+    """(media_id, container, width, height, duration_ms, probe_error) —
+    map-side header probe of every blob; unparseable blobs report their
+    error instead of failing the job (the triage pass runs BEFORE the
+    pipeline decides what is decodable)."""
+    import pandas as pd
+    from typing import Iterator
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, blob in zip(b["media_id"], b["blob"]):
+                try:
+                    p = probe_media(bytes(blob))
+                    rows.append(
+                        (mid, p.get("container"), p.get("width"),
+                         p.get("height"), p.get("duration_ms"), None)
+                    )
+                except Exception as e:
+                    rows.append((mid, None, None, None, None, str(e)))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "container", "width", "height",
+                         "duration_ms", "probe_error"],
+            )
+
+    return media.select("media_id", "blob").mapInPandas(_gen, PROBE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
 # Spark operators
 # --------------------------------------------------------------------------
 
