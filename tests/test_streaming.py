@@ -161,3 +161,43 @@ def test_ctr_state_stream_equals_batch_fold(spark, tmp_path):
         assert final[k][0] == pytest.approx(want[k][0], rel=1e-12), k
         assert batch[k][0] == pytest.approx(want[k][0], rel=1e-12), k
         assert final[k][1] == want[k][1] == batch[k][1]
+
+
+def test_dedup_exact_stream_equals_batch(spark, tmp_path):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark on the content
+    hash) must keep exactly one row per distinct text — same key set as
+    the batch twin."""
+    import datetime
+
+    from websearchengine_spark.streaming import stream
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    rows = []
+    texts = [f"document body number {i % 7}" for i in range(25)]  # 7 distinct
+    for i, tx in enumerate(texts):
+        rows.append((i, tx, t0 + datetime.timedelta(seconds=i)))
+    src_dir = str(tmp_path / "dd_src")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, ingest_ts timestamp"
+    ).coalesce(2).write.mode("overwrite").parquet(src_dir)
+
+    batch = spark.read.parquet(src_dir)
+    streaming = spark.readStream.schema(batch.schema).parquet(src_dir)
+
+    q = (
+        stream.dedup_exact_stream(streaming)
+        .writeStream.format("memory")
+        .queryName("dd_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dd_cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM dd_stream").collect()
+    want = stream.dedup_exact_stream(batch).collect()
+    assert sorted(r.content_hash for r in got) == sorted(
+        r.content_hash for r in want
+    )
+    assert len(got) == 7  # one survivor per distinct text
+    assert len({r.text for r in got}) == 7

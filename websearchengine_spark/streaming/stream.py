@@ -80,6 +80,26 @@ def session_windows(
     )
 
 
+def dedup_exact_stream(
+    docs: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact dedup: first-seen row per md5(text) content hash.
+    On a stream, ``dropDuplicatesWithinWatermark`` bounds the hash-key
+    state to the watermark horizon (duplicates arriving farther apart
+    than the watermark may both survive — the documented streaming-dedup
+    contract); the batch twin is a plain dropDuplicates on the same hash,
+    so stream == batch whenever the data fits one watermark window.
+    Requires an ``ingest_ts`` timestamp column on streaming input."""
+    src = docs.withColumn("content_hash", F.md5(F.col("text")))
+    if src.isStreaming:
+        src = src.withWatermark(
+            "ingest_ts", watermark
+        ).dropDuplicatesWithinWatermark(["content_hash"])
+    else:
+        src = src.dropDuplicates(["content_hash"])
+    return src
+
+
 CTR_OUT_SCHEMA = (
     "keyword string, ad_key string, ctr double, n_impressions long"
 )
