@@ -74,6 +74,28 @@ def main() -> None:
             segs, ["data", "table"], num_docs=500, avgdl=avgdl, k=10
         ).explain("formatted")
 
+        print("=" * 72)
+        print("4. Phrase serve path: metadata-only chunk prune before the")
+        print("   positional decode (expect the cand-chunk aggregation to")
+        print("   scan ONLY metadata columns — no pos_bytes in its")
+        print("   ReadSchema — and a left-semi join feeding the decode)")
+        print("=" * 72)
+        from websearchengine_spark.operators import query as Q
+
+        Q.token_postings_from_segments(segs, '"data mining"').explain(
+            "formatted"
+        )
+
+        print("=" * 72)
+        print("5. Corpus n-gram counts (expect map-side generate + ONE")
+        print("   hash-partial/final aggregate pair, TakeOrderedAndProject)")
+        print("=" * 72)
+        from websearchengine_spark.operators import corpus_stats
+
+        corpus_stats.ngram_counts(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), 2, 100
+        ).explain("formatted")
+
     spark.stop()
 
 
