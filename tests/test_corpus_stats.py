@@ -73,3 +73,33 @@ def test_source_mix_values(spark, crafted):
     assert got["books"].n_docs == 2 and got["books"].n_tokens == 1
     assert got["web"].n_chars == 20
     assert got["code"].avg_chars == pytest.approx(7.0)
+
+
+def test_stratified_sample_deterministic(spark, crafted):
+    import hashlib
+
+    got1 = {r.doc_id for r in CS.stratified_sample(
+        crafted, {"web": 1.0, "books": 0.0}, seed=7).collect()}
+    # rate 1.0 keeps every web doc, 0.0 drops all books, unlisted drops
+    assert got1 == {0, 1}
+    # threshold math matches the python oracle at a mid rate
+    rates = {"web": 0.5, "books": 0.5, "code": 0.5}
+    got = {r.doc_id for r in CS.stratified_sample(crafted, rates, seed=7).collect()}
+    want = set()
+    for doc_id, _t, src, _n in [(r.doc_id, r.text, r.source, r.n_chars)
+                                for r in crafted.collect()]:
+        u = int(hashlib.md5(f"{doc_id}|7".encode()).hexdigest()[:15], 16) / (1 << 60)
+        if u < rates[src]:
+            want.add(doc_id)
+    assert got == want
+    # seed-stable
+    again = {r.doc_id for r in CS.stratified_sample(crafted, rates, seed=7).collect()}
+    assert got == again
+
+
+def test_sequence_pack_bins(spark, crafted):
+    got = {r.doc_id: (r.n_tokens, r.bin_id)
+           for r in CS.sequence_pack(crafted, budget=6).collect()}
+    # token counts: doc0=5, doc1=6, doc2=1, doc3=0, doc4=4
+    # exclusive prefix: 0, 5, 11, 12, 12 -> bins 0, 0, 1, 2, 2
+    assert got == {0: (5, 0), 1: (6, 0), 2: (1, 1), 3: (0, 2), 4: (4, 2)}

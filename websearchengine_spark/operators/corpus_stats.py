@@ -112,6 +112,58 @@ def probe_ngrams_of_doc(docs: DataFrame, doc_id: int, n: int = 5) -> list[str]:
     return sorted(row.g) if row else []
 
 
+def stratified_sample(
+    docs: DataFrame, rates: dict[str, float], seed: int = 42
+) -> DataFrame:
+    """Deterministic per-source downsampling — the mixture-reweighting
+    step a training run applies after reading the ``source_mix`` report.
+    A doc survives iff md5(doc_id|seed)'s 60-bit prefix falls under its
+    source's rate: exact, seed-stable, order-independent, and identical
+    in any engine (md5 is the cross-engine hash used by every gate —
+    xxhash64 differs between Spark and DuckDB).  Unlisted sources drop.
+    One map-side filter; no shuffle, no sampling state."""
+    from websearchengine_spark.operators.dedup import md5_60
+
+    u = md5_60(
+        F.concat(F.col("doc_id").cast("string"), F.lit(f"|{seed}"))
+    ) / F.lit(float(1 << 60))
+    rate = F.create_map(
+        *[x for s, r in sorted(rates.items()) for x in (F.lit(s), F.lit(float(r)))]
+    )[F.col("source")]
+    return docs.where(rate.isNotNull() & (u < rate))
+
+
+def sequence_pack(docs: DataFrame, budget: int = 2048) -> DataFrame:
+    """(doc_id, n_tokens, bin_id) — token-budget packing for LM training:
+    docs in doc_id order accumulate into ``budget``-token bins with
+    bin_id = floor(exclusive_prefix_sum / budget).
+
+    This is the SCALABLE packing rule (a pure prefix-sum window, so it
+    distributes and is SQL-expressible) rather than greedy first-fit:
+    a doc whose tokens straddle a boundary is charged to the bin where
+    its prefix starts, so bins can overflow by at most one doc — the
+    standard approximation when packing 10^12 docs, where a sequential
+    greedy pass cannot run.  The single global window is the honest cost
+    of a total order; at scale the same rule runs per partition-range
+    with offsets composed from per-range totals (exactly how
+    assign_doc_ids distributes its dense rank)."""
+    from pyspark.sql import Window
+
+    toks = _toks_clean()
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    base = docs.select(
+        "doc_id", F.size(toks).cast("long").alias("n_tokens")
+    )
+    prefix = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(prefix / budget).cast("long").alias("bin_id"),
+    )
+
+
 def source_mix(docs: DataFrame) -> DataFrame:
     """(source, n_docs, n_tokens, n_chars, avg_chars) — the per-domain
     mixture table a training run's sampling weights are set from."""

@@ -839,6 +839,49 @@ SELECT doc_id, count(*)::BIGINT AS n_hits,
 FROM hits GROUP BY doc_id"""
 
 
+SAMPLE_RATES = {"src0": 0.9, "src1": 0.5, "src2": 0.25, "src3": 1.0,
+                "src4": 0.1}
+SAMPLE_SEED = 42
+PACK_BUDGET = 512
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Mixture reweighting: per-source md5-threshold downsampling
+    (sources without a rate drop entirely) — the step a training run
+    applies after reading source_mix."""
+    return corpus_stats.stratified_sample(
+        _docs(spark, sf_dir), SAMPLE_RATES, SAMPLE_SEED
+    ).select("doc_id", "source")
+
+
+_rate_cases = " ".join(
+    f"WHEN '{s}' THEN {r!r}" for s, r in sorted(SAMPLE_RATES.items())
+)
+SQL_STRATIFIED_SAMPLE = f"""SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         {_H.format(x=f"doc_id::VARCHAR || '|{SAMPLE_SEED}'")} / {float(1 << 60)!r} AS u,
+         CASE source {_rate_cases} ELSE NULL END AS rate
+  FROM documents
+) WHERE rate IS NOT NULL AND u < rate"""
+
+
+def q_sequence_pack(spark, sf_dir):
+    """Token-budget sequence packing: bin_id = floor(exclusive prefix-sum
+    of token counts in doc_id order / budget) — the distributable packing
+    rule (pure window prefix sum; greedy first-fit is sequential and
+    cannot run at corpus scale)."""
+    return corpus_stats.sequence_pack(_docs(spark, sf_dir), PACK_BUDGET)
+
+
+SQL_SEQUENCE_PACK = f"""WITH {_SQL_TOKS_CTE_DOCS},
+b AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens FROM t)
+SELECT doc_id, n_tokens,
+       CAST(floor(coalesce(sum(n_tokens) OVER (
+         ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+       ), 0) / {PACK_BUDGET}) AS BIGINT) AS bin_id
+FROM b"""
+
+
 def q_source_mix(spark, sf_dir):
     """Per-source data-mixture report (docs/tokens/chars) — the table a
     training run's sampling weights are configured from."""
@@ -879,4 +922,6 @@ EXT_REGISTRY = {
     "repetition_score": (q_repetition_score, SQL_REPETITION_SCORE),
     "contamination_check": (q_contamination_check, SQL_CONTAMINATION_CHECK),
     "source_mix": (q_source_mix, SQL_SOURCE_MIX),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),
 }
