@@ -133,35 +133,84 @@ def stratified_sample(
     return docs.where(rate.isNotNull() & (u < rate))
 
 
-def sequence_pack(docs: DataFrame, budget: int = 2048) -> DataFrame:
+def sequence_pack(
+    docs: DataFrame, budget: int = 2048, n_parts: int | None = None
+) -> DataFrame:
     """(doc_id, n_tokens, bin_id) — token-budget packing for LM training:
     docs in doc_id order accumulate into ``budget``-token bins with
     bin_id = floor(exclusive_prefix_sum / budget).
 
-    This is the SCALABLE packing rule (a pure prefix-sum window, so it
-    distributes and is SQL-expressible) rather than greedy first-fit:
-    a doc whose tokens straddle a boundary is charged to the bin where
-    its prefix starts, so bins can overflow by at most one doc — the
+    This is the SCALABLE packing rule rather than greedy first-fit: a
+    doc whose tokens straddle a boundary is charged to the bin where its
+    prefix starts, so bins can overflow by at most one doc — the
     standard approximation when packing 10^12 docs, where a sequential
-    greedy pass cannot run.  The single global window is the honest cost
-    of a total order; at scale the same rule runs per partition-range
-    with offsets composed from per-range totals (exactly how
-    assign_doc_ids distributes its dense rank)."""
-    from pyspark.sql import Window
+    greedy pass cannot run.  The global prefix sum is DISTRIBUTED the
+    same way assign_doc_ids distributes its dense rank: range-partition
+    by doc_id, one tiny pass collects per-partition token totals
+    (n_parts rows on the driver), then each partition computes its local
+    exclusive prefix against the broadcast offset — never a
+    single-partition window."""
+    from typing import Iterator
 
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = docs.sparkSession
+    if n_parts is None:
+        n_parts = max(spark.sparkContext.defaultParallelism, 8)
     toks = _toks_clean()
-    w = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, -1
+    base = (
+        docs.select("doc_id", F.size(toks).cast("long").alias("n_tokens"))
+        .repartitionByRange(n_parts, "doc_id")
+        .sortWithinPartitions("doc_id")
     )
-    base = docs.select(
-        "doc_id", F.size(toks).cast("long").alias("n_tokens")
+
+    counts_schema = T.StructType(
+        [T.StructField("pid", T.IntegerType()),
+         T.StructField("total", T.LongType())]
     )
-    prefix = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    return base.select(
-        "doc_id",
-        "n_tokens",
-        F.floor(prefix / budget).cast("long").alias("bin_id"),
+
+    def _totals(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        total = 0
+        for b in batches:
+            total += int(b["n_tokens"].sum())
+        yield pd.DataFrame({"pid": [pid], "total": [total]})
+
+    counts = sorted(
+        base.mapInPandas(_totals, counts_schema).collect(),
+        key=lambda r: r.pid,
     )
+    offsets = {}
+    acc = 0
+    for r in counts:
+        offsets[r.pid] = acc
+        acc += r.total
+    boff = spark.sparkContext.broadcast(offsets)
+
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()),
+         T.StructField("n_tokens", T.LongType()),
+         T.StructField("bin_id", T.LongType())]
+    )
+
+    def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        from pyspark import TaskContext
+
+        run = boff.value.get(TaskContext.get().partitionId(), 0)
+        for b in batches:
+            n = b["n_tokens"].to_numpy()
+            prefix = run + np.concatenate([[0], np.cumsum(n)[:-1]])
+            run += int(n.sum())
+            yield pd.DataFrame(
+                {"doc_id": b["doc_id"], "n_tokens": b["n_tokens"],
+                 "bin_id": (prefix // budget).astype("int64")}
+            )
+
+    return base.mapInPandas(_assign, out_schema)
 
 
 def source_mix(docs: DataFrame) -> DataFrame:
