@@ -495,3 +495,19 @@ def test_frame_sampling_fanout(spark, media):
         assert len(r.frame_feature) == M.FEATURE_DIM
     for nos in per.values():
         assert sorted(nos) == [0, 1, 2, 3]
+
+
+def test_jpeg_422_subsampling():
+    """4:2:2 (horizontal-only chroma pooling): 2x1 luma blocks per MCU,
+    horizontal replication upsample — bounded error on chroma-smooth
+    input, tighter than 4:2:0."""
+    from websearchengine_spark.operators import jpeg as J
+
+    xx, yy = np.meshgrid(np.arange(30), np.arange(22))
+    smooth = np.stack(
+        [(xx * 3 + yy) % 256, (xx + yy * 2) % 256, (xx * 2 + yy * 2) % 256],
+        -1,
+    ).astype(np.uint8)
+    got = J.decode_jpeg(J.encode_jpeg(smooth, subsample="422")).astype(int)
+    assert got.shape == smooth.shape
+    assert np.abs(got - smooth.astype(int)).max() <= 2
