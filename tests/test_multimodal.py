@@ -1,8 +1,9 @@
-"""Multimodal: REAL decoders (BMP / netpbm / PNG / PCM WAV / YUV4MPEG2)
-proved against independently-written encoders, honest NotImplementedError
-for codecs the container can't parse (JPEG/GIF/MP3/MP4, 16-bit or
-interlaced PNG), plus the Spark plumbing (schema, fan-out, determinism).
-"""
+"""Multimodal: REAL decoders (BMP / netpbm / PNG / GIF / baseline JPEG /
+PCM WAV / YUV4MPEG2) proved against independently-written encoders, a
+header-only probe for every container (incl. MP4 box walk and MP3 frame
+walk), honest NotImplementedError for payloads the container can't parse
+(MP3/MP4 decode, 16-bit or interlaced PNG, progressive JPEG), plus the
+Spark plumbing (schema, fan-out, determinism)."""
 
 from __future__ import annotations
 

@@ -216,9 +216,45 @@ adj AS (
 SELECT adj.doc_id, adj.phrase_tf, d.dl FROM adj JOIN refdocs d USING (doc_id)"""
 
 
+def q_ref_idx_cosine(spark, sf_dir):
+    """R2 cosine/VSM over the REAL index (hw1 Ranker.java:57-114
+    semantics: doc tf-idf over ALL doc terms with idf = 1 + log2(N/df),
+    query vector = raw token counts, dot > 0 filter).  Scores are rounded
+    to 6 dp BEFORE the top-10 sort on both engines so the selected row
+    set is identical despite log2/sqrt float noise."""
+    from websearchengine_spark.operators import score as S2
+
+    postings, _docs, n, _tot = RI.ref_index_tables(spark)
+    scored = S2.cosine_scores(postings, REF_QUERY, n)
+    return (
+        scored.select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+SQL_REF_IDX_COSINE = f"""WITH {_SQL_REF_CTES},
+ts AS (SELECT term, count(*)::DOUBLE AS df FROM refpost GROUP BY term),
+wt AS (
+  SELECT refpost.term, refpost.doc_id,
+         refpost.tf * (1.0 + log2(refconsts.n / ts.df)) AS w
+  FROM refpost JOIN ts USING (term), refconsts
+),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS dnorm FROM wt GROUP BY doc_id),
+dt AS (
+  SELECT doc_id, sum(w) AS dot
+  FROM wt WHERE term IN ({_ref_terms_sql})
+  GROUP BY doc_id HAVING sum(w) > 0
+)
+SELECT dt.doc_id, round(dt.dot / (nrm.dnorm * sqrt(2.0)), 6) AS score
+FROM dt JOIN nrm USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT 10"""
+
+
 REF_REGISTRY = {
     "ref_idx_term_stats": (q_ref_idx_term_stats, SQL_REF_IDX_TERM_STATS),
     "ref_idx_phrase": (q_ref_idx_phrase, SQL_REF_IDX_PHRASE),
+    "ref_idx_cosine": (q_ref_idx_cosine, SQL_REF_IDX_COSINE),
     "ref_idx_bm25": (q_ref_idx_bm25, SQL_REF_IDX_BM25),
     "ref_idx_ql": (q_ref_idx_ql, SQL_REF_IDX_QL),
     "ref_idx_comprehensive": (q_ref_idx_comprehensive, SQL_REF_IDX_COMPREHENSIVE),
