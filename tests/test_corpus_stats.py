@@ -103,3 +103,14 @@ def test_sequence_pack_bins(spark, crafted):
     # token counts: doc0=5, doc1=6, doc2=1, doc3=0, doc4=4
     # exclusive prefix: 0, 5, 11, 12, 12 -> bins 0, 0, 1, 2, 2
     assert got == {0: (5, 0), 1: (6, 0), 2: (1, 1), 3: (0, 2), 4: (4, 2)}
+
+
+def test_contamination_broadcast_path(spark, crafted):
+    """A probe set above isin_max must switch to the broadcast semi-join
+    and return identical results."""
+    probes = CS.probe_ngrams_of_doc(crafted, 0, 2)
+    small = {(r.doc_id, r.n_hits, r.n_probes_hit)
+             for r in CS.contamination_overlap(crafted, probes, 2).collect()}
+    big = {(r.doc_id, r.n_hits, r.n_probes_hit)
+           for r in CS.contamination_overlap(crafted, probes, 2, isin_max=1).collect()}
+    assert small == big and small

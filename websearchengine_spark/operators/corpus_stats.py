@@ -88,13 +88,22 @@ def repetition_scores(docs: DataFrame, n: int = 3) -> DataFrame:
 
 
 def contamination_overlap(
-    docs: DataFrame, probes: list[str], n: int = 5
+    docs: DataFrame, probes: list[str], n: int = 5, isin_max: int = 256
 ) -> DataFrame:
     """(doc_id, n_hits, n_probes_hit) — docs sharing any probe n-gram.
-    ``probes`` is the benchmark's n-gram set (driver-size; broadcasts into
-    the isin filter below the aggregation, so non-hits never shuffle)."""
+    ``probes`` is the benchmark's n-gram set (driver-size by
+    construction).  Small sets compile into an ``isin`` filter pushed
+    below the aggregation; larger ones become a broadcast-hash semi-side
+    join instead — thousands of In-literals bloat the codegen'd predicate,
+    while a broadcast hash lookup costs O(1) per gram.  Either way
+    non-hits never reach the shuffle."""
     grams = docs.select("doc_id", F.explode(ngrams_col(n)).alias("g"))
-    hits = grams.where(F.col("g").isin(probes))
+    if len(probes) <= isin_max:
+        hits = grams.where(F.col("g").isin(probes))
+    else:
+        spark = docs.sparkSession
+        pdf = spark.createDataFrame([(p,) for p in probes], "g string")
+        hits = grams.join(F.broadcast(pdf), "g", "left_semi")
     return hits.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_hits"),
         F.count_distinct("g").cast("long").alias("n_probes_hit"),
