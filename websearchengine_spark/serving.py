@@ -37,9 +37,25 @@ from pyspark.sql import functions as F
 
 
 class IndexServer:
-    """Resident query service over a checkpointed index directory."""
+    """Resident query service over a checkpointed index directory.
 
-    def __init__(self, spark, index_dir: str, preload_stats: bool = True):
+    ``serve_partitions`` (resident mode only): per-query latency at serve
+    scale is dominated by task count, not data — a measured A/B on sf0.1
+    at local[32] cut BM25 p50 from ~1.1 s (64 cached partitions, 32
+    shuffle partitions) to ~0.24 s (4/4) — so the resident server
+    coalesces its cached segment table and pins the session's shuffle
+    partitions to a small count.  Size it to the serve working set (a few
+    fat tasks), NOT the cluster: a latency-serving session is a separate
+    concern from throughput builds, exactly as the reference splits serve
+    mode from index mode."""
+
+    def __init__(
+        self,
+        spark,
+        index_dir: str,
+        preload_stats: bool = True,
+        serve_partitions: int | None = 8,
+    ):
         from websearchengine_spark.operators import checkpoint
 
         self.spark = spark
@@ -53,6 +69,14 @@ class IndexServer:
         self._stats_path = os.path.join(index_dir, "term_stats")
         self.term_df: dict | None = None
         if preload_stats and os.path.exists(self._stats_path):
+            if serve_partitions:
+                # segment cache keeps 2x width: the WAND decode pass is
+                # CPU-bound Python and wants parallelism, while shuffle
+                # stages want few fat tasks (measured A/B in BASELINE.md)
+                self.segs = self.segs.coalesce(serve_partitions * 2)
+                spark.conf.set(
+                    "spark.sql.shuffle.partitions", str(serve_partitions)
+                )
             self.segs = self.segs.cache()
             self.term_df = {
                 r.term: r.df
