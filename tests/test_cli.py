@@ -108,3 +108,35 @@ def test_http_serving_endpoint(spark, http_index):
             assert e.code == 404
     finally:
         httpd.shutdown()
+
+
+def test_http_prf_route(spark, http_index):
+    """/prf mirrors QueryHandler.java:565-583: term \t prob lines sorted
+    by prob desc, numdocs/numterms CGI args, probs normalized over the
+    retained mass."""
+    from urllib.request import urlopen
+
+    from websearchengine_spark.serving import IndexServer, serve
+
+    srv = IndexServer(spark, http_index, preload_stats=True)
+    httpd = serve(srv, port=0, background=True)
+    try:
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        body = urlopen(
+            f"{base}/prf?query=web+search&numdocs=5&numterms=6"
+        ).read().decode()
+        lines = [l for l in body.splitlines() if l]
+        assert 0 < len(lines) <= 6
+        probs = [float(l.split("\t")[1]) for l in lines]
+        assert probs == sorted(probs, reverse=True)
+        assert sum(probs) == pytest.approx(1.0, abs=1e-6)
+        # direct API equality
+        want = srv.prf("web search", num_docs=5, num_terms=6)
+        assert [(l.split("\t")[0], float(l.split("\t")[1])) for l in lines] == [
+            (t, p) for t, p in want
+        ]
+        # invalid numeric args ignored, not an error
+        ok = urlopen(f"{base}/prf?query=web+search&numterms=zzz").read().decode()
+        assert ok.splitlines()
+    finally:
+        httpd.shutdown()

@@ -147,6 +147,35 @@ class IndexServer:
         return [(int(r.doc_id), r.title, float(r.score)) for r in rows]
 
 
+    def prf(
+        self, q: str, num_docs: int = 10, num_terms: int = 10
+    ) -> list[tuple[str, float]]:
+        """G5 pseudo-relevance feedback over the serve index (the
+        reference's /prf route, QueryHandler.java:565-583): rank top
+        ``num_docs``, sum term tfs over those docs, top ``num_terms``
+        with retained-mass normalization.  The inverted segments are
+        term-major, so 'all terms of doc X' decodes only the docs'
+        CHUNKS (chunk = doc_id // chunk_docs — ≤ num_docs chunk keys,
+        pruned before the decode UDF) rather than the whole index."""
+        from websearchengine_spark.operators import indexer, mining
+
+        ranked = self.query(q, k=num_docs)
+        if not ranked:
+            return []
+        doc_ids = [d for d, _, _ in ranked]
+        chunks = sorted({d // self.cp.chunk_docs for d in doc_ids})
+        posts = indexer.decode_segments(
+            self.segs.where(F.col("chunk").isin(chunks)),
+            with_positions=False,
+        ).where(F.col("doc_id").isin(doc_ids))
+        top = self.spark.createDataFrame(
+            [(int(d),) for d in doc_ids], "doc_id long"
+        )
+        rep = mining.prf_representation(top, posts, num_terms)
+        rows = rep.orderBy(F.desc("prob"), F.asc("term")).collect()
+        return [(r.term, float(r.prob)) for r in rows]
+
+
 _RANKERS = {"conjunctive", "disjunctive"}
 
 
@@ -158,8 +187,10 @@ def make_handler(server: IndexServer):
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):  # noqa: N802 (stdlib API name)
             u = urlparse(self.path)
-            if u.path != "/search":
-                self._respond(404, "text/plain", "not found: use /search")
+            if u.path not in ("/search", "/prf"):
+                self._respond(
+                    404, "text/plain", "not found: use /search or /prf"
+                )
                 return
             params = parse_qs(u.query)
 
@@ -167,6 +198,26 @@ def make_handler(server: IndexServer):
                 return params.get(key, [default])[0]
 
             q = first("query")
+            if u.path == "/prf":
+                # reference /prf: numdocs/numterms CGI args, lines of
+                # term \t prob sorted by prob desc
+                # (QueryHandler.java:565-583)
+                def num(key, default):
+                    try:
+                        return int(first(key, str(default)))
+                    except ValueError:
+                        return default
+
+                try:
+                    rep = server.prf(
+                        q, num("numdocs", 10), num("numterms", 10)
+                    )
+                except Exception as e:
+                    self._respond(500, "text/plain", f"prf failed: {e}")
+                    return
+                body = "".join(f"{t}\t{p}\n" for t, p in rep)
+                self._respond(200, "text/plain", body)
+                return
             mode = first("ranker", "conjunctive").lower()
             if mode not in _RANKERS:
                 mode = "conjunctive"  # invalid ranker ignored
