@@ -233,6 +233,15 @@ def main() -> None:
     # Python and wants parallelism while shuffle stages stay narrow ---
     segs_cached = segs.coalesce(SERVE_PARTS * 2).cache()
     segs_cached.count()
+    # per-term chunk counts (the cmd_build term_stats sidecar column):
+    # feeds the cost-based prune decision — tiny chunk sets take the
+    # single-pass plan, large ones keep the 3-job block-max prune
+    chunk_map = {
+        r.term: r.n
+        for r in segs_cached.groupBy("term")
+        .agg(F.count_distinct("chunk").alias("n"))
+        .collect()
+    }
     wlat = []
     for i in range(8):
         q = queries[i % len(queries)]
@@ -240,7 +249,7 @@ def main() -> None:
         t0 = time.time()
         W.bm25_topk_segments(
             segs_cached, words, n_docs, avgdl, k=10, mode="conjunctive",
-            term_df=stats_map, eager=True,
+            term_df=stats_map, eager=True, term_chunks=chunk_map,
         ).collect()
         wlat.append(time.time() - t0)
     wlat.sort()

@@ -213,3 +213,28 @@ def test_phrase_pruned_segments_match_full_decode(spark, spark_index, seg_index)
     assert [(r.doc_id, round(r.score, 9)) for r in got_r] == [
         (r.doc_id, round(r.score, 9)) for r in want_r
     ]
+
+
+def test_cost_based_prune_skip(spark, spark_index, seg_index):
+    """term_chunks drives the plan choice: a tiny summed chunk count
+    skips the 3-job prune for one single-pass job; a large count keeps
+    the pruned plan; results identical either way."""
+    segs, avgdl = seg_index
+    n = spark_index["num_docs"]
+    terms = _stem(["data", "mining"])
+    stats_a: dict = {}
+    got_auto = wand.bm25_topk_segments(
+        segs, terms, n, avgdl, k=5, mode="conjunctive",
+        stats=stats_a, term_chunks={t: 2 for t in terms},
+    ).collect()
+    # single-pass path: nothing probed separately, no survivors pass
+    assert stats_a["survivors"] == 0 and stats_a["theta"] == float("-inf")
+    stats_b: dict = {}
+    got_pruned = wand.bm25_topk_segments(
+        segs, terms, n, avgdl, k=5, mode="conjunctive",
+        stats=stats_b, term_chunks={t: 1000 for t in terms},
+    ).collect()
+    assert stats_b["probed"] == 2  # pruned plan engaged (probe_chunks)
+    assert [(r.doc_id, round(r.score, 9)) for r in got_auto] == [
+        (r.doc_id, round(r.score, 9)) for r in got_pruned
+    ]

@@ -85,9 +85,12 @@ def cmd_build(args) -> None:
     # term-stats sidecar (df/ctf from segment metadata, no re-tokenize):
     # the serve analogue of the reference's in-memory stats maps
     segs = cp.segments(spark)
+    # n_chunks feeds the serve-side cost-based prune decision
+    # (wand.bm25_topk_segments term_chunks/prune_min_chunks)
     segs.groupBy("term").agg(
         F.sum("n_docs").cast("long").alias("df"),
         F.sum("sum_tf").cast("long").alias("ctf"),
+        F.count_distinct("chunk").cast("long").alias("n_chunks"),
     ).write.mode("overwrite").parquet(os.path.join(args.out, "term_stats"))
     # exact corpus stats come free from the per-partition lineage manifest
     # — no second tokenization pass

@@ -136,6 +136,8 @@ def bm25_topk_segments(
     stats: dict | None = None,
     term_df: dict[str, int] | None = None,
     eager: bool = False,
+    term_chunks: dict[str, int] | None = None,
+    prune_min_chunks: int = 16,
 ) -> DataFrame:
     """(doc_id, score) top-k BM25 from compressed segments with block-max
     chunk/block pruning.  ``stats`` (optional dict) receives
@@ -146,9 +148,22 @@ def bm25_topk_segments(
     probe scores are cached for reuse between the theta pass and the
     final pass, the (<= k)-row result is materialized, and the cache is
     dropped before returning — lowest latency with no cached-plan leak
-    across queries."""
+    across queries.
+
+    ``term_chunks`` (optional {term: n_chunks} from the build-time
+    sidecar) drives a COST-BASED plan choice: the pruned plan is three
+    sequential jobs (probe-id TakeOrdered, theta pass, pruned final) —
+    pure win when the terms span many chunks, pure job-scheduling
+    overhead when they span a handful.  If the query's summed chunk
+    count is <= ``prune_min_chunks``, scoring everything in ONE pass is
+    strictly cheaper and the prune is skipped; results are identical by
+    the pruned == unpruned invariant.  At web scale hot terms have
+    thousands of chunks and the threshold never triggers."""
     terms = sorted(set(query_terms))
     segs = segments.where(F.col("term").isin(terms))
+    if prune and term_chunks is not None:
+        if sum(term_chunks.get(t, 0) for t in terms) <= prune_min_chunks:
+            prune = False
 
     # --- metadata pass (Parquet reads only the narrow columns) ---
     if term_df is not None:

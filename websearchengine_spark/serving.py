@@ -68,6 +68,7 @@ class IndexServer:
         self.segs = self.cp.segments(spark)
         self._stats_path = os.path.join(index_dir, "term_stats")
         self.term_df: dict | None = None
+        self.term_chunks: dict | None = None
         if preload_stats and os.path.exists(self._stats_path):
             if serve_partitions:
                 # segment cache keeps 2x width: the WAND decode pass is
@@ -78,10 +79,11 @@ class IndexServer:
                     "spark.sql.shuffle.partitions", str(serve_partitions)
                 )
             self.segs = self.segs.cache()
-            self.term_df = {
-                r.term: r.df
-                for r in spark.read.parquet(self._stats_path).collect()
-            }
+            stats_df = spark.read.parquet(self._stats_path)
+            rows = stats_df.collect()
+            self.term_df = {r.term: r.df for r in rows}
+            if "n_chunks" in stats_df.columns:
+                self.term_chunks = {r.term: r.n_chunks for r in rows}
         docs_path = os.path.join(index_dir, "docs")
         self.titles = (
             spark.read.parquet(docs_path)
@@ -89,17 +91,25 @@ class IndexServer:
             else None
         )
 
-    def _term_df_for(self, words: list[str]) -> dict | None:
+    def _term_maps_for(
+        self, words: list[str]
+    ) -> tuple[dict | None, dict | None]:
+        """({term: df}, {term: n_chunks}) — preloaded in resident mode,
+        else one filtered sidecar read (isin pushes into the scan)."""
         if self.term_df is not None:
-            return self.term_df
+            return self.term_df, self.term_chunks
         if not os.path.exists(self._stats_path):
-            return None
-        return {
-            r.term: r.df
-            for r in self.spark.read.parquet(self._stats_path)
-            .where(F.col("term").isin(words))
-            .collect()
-        }
+            return None, None
+        stats_df = self.spark.read.parquet(self._stats_path).where(
+            F.col("term").isin(words)
+        )
+        rows = stats_df.collect()
+        chunks = (
+            {r.term: r.n_chunks for r in rows}
+            if "n_chunks" in stats_df.columns
+            else None
+        )
+        return {r.term: r.df for r in rows}, chunks
 
     def query(
         self, q: str, k: int = 10, mode: str = "conjunctive"
@@ -125,6 +135,7 @@ class IndexServer:
                 k,
             )
         else:
+            term_df, term_chunks = self._term_maps_for(words)
             out = wand.bm25_topk_segments(
                 self.segs,
                 words,
@@ -132,8 +143,9 @@ class IndexServer:
                 avgdl=self.stats["avgdl"],
                 k=k,
                 mode=mode,
-                term_df=self._term_df_for(words),
+                term_df=term_df,
                 eager=True,
+                term_chunks=term_chunks,
             )
         if self.titles is not None:
             out = out.join(F.broadcast(self.titles), "doc_id", "left").select(
