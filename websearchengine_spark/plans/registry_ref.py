@@ -251,10 +251,32 @@ FROM dt JOIN nrm USING (doc_id)
 ORDER BY score DESC, doc_id ASC LIMIT 10"""
 
 
+def q_ref_idx_wand(spark, sf_dir):
+    """Block-max WAND over the REAL shipped index: parse the reference's
+    postings, compress them into delta-gap varint segments with block-max
+    metadata (the engine's own build path), then answer the gate query
+    through the pruned two-pass WAND serve path.  The oracle is plain
+    BM25 SQL over the same parse — the pruned == unpruned == relational
+    invariant, enforced by the driver on 2.55M real occurrences."""
+    from websearchengine_spark.operators import indexer as IDX
+    from websearchengine_spark.operators import wand as W
+
+    postings, _docs, n, tot = RI.ref_index_tables(spark)
+    avgdl = tot / n
+    segs = IDX.build_segments(
+        postings, avgdl=avgdl, chunk_docs=1024
+    )
+    out = W.bm25_topk_segments(
+        segs, list(REF_TERMS), n, avgdl, k=10, mode="conjunctive"
+    )
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
 REF_REGISTRY = {
     "ref_idx_term_stats": (q_ref_idx_term_stats, SQL_REF_IDX_TERM_STATS),
     "ref_idx_phrase": (q_ref_idx_phrase, SQL_REF_IDX_PHRASE),
     "ref_idx_cosine": (q_ref_idx_cosine, SQL_REF_IDX_COSINE),
+    "ref_idx_wand": (q_ref_idx_wand, SQL_REF_IDX_BM25),
     "ref_idx_bm25": (q_ref_idx_bm25, SQL_REF_IDX_BM25),
     "ref_idx_ql": (q_ref_idx_ql, SQL_REF_IDX_QL),
     "ref_idx_comprehensive": (q_ref_idx_comprehensive, SQL_REF_IDX_COMPREHENSIVE),
