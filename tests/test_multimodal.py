@@ -315,16 +315,67 @@ def test_jpeg_through_decode_image():
     assert np.array_equal((got[..., 0] * 255.0).round().astype(np.uint8), gray)
 
 
+def test_jpeg_progressive_equals_baseline():
+    """Spectral-selection progressive (SOF2) transports the SAME
+    quantized coefficients as baseline, so decode must be bit-identical
+    to the baseline decode — gray, RGB 4:4:4, multiple band splits, and
+    lossy tables; a flat image drives one EOBn covering every block."""
+    from websearchengine_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(36)
+    g = rng.integers(0, 256, size=(19, 27), dtype=np.uint8)
+    assert np.array_equal(
+        J.decode_jpeg(J.encode_jpeg(g)),
+        J.decode_jpeg(J.encode_jpeg_progressive(g)),
+    )
+    px = rng.integers(0, 256, size=(17, 14, 3), dtype=np.uint8)
+    assert np.array_equal(
+        J.decode_jpeg(J.encode_jpeg(px)),
+        J.decode_jpeg(J.encode_jpeg_progressive(px)),
+    )
+    assert np.array_equal(
+        J.decode_jpeg(J.encode_jpeg(px)),
+        J.decode_jpeg(
+            J.encode_jpeg_progressive(px, bands=((1, 2), (3, 20), (21, 63)))
+        ),
+    )
+    q = np.full((8, 8), 16, int)
+    assert np.array_equal(
+        J.decode_jpeg(J.encode_jpeg(px, qtable=q)),
+        J.decode_jpeg(J.encode_jpeg_progressive(px, qtable=q)),
+    )
+    # sparse image -> EOBn runs spanning many blocks; progressive stream
+    # must also be SMALLER than baseline here (EOB-run accumulation)
+    sp = np.full((64, 64), 128, dtype=np.uint8)
+    sp[5, 7], sp[40, 33], sp[63, 63] = 250, 3, 200
+    pblob, bblob = J.encode_jpeg_progressive(sp), J.encode_jpeg(sp)
+    assert np.array_equal(J.decode_jpeg(pblob), J.decode_jpeg(bblob))
+    assert len(pblob) < len(bblob)
+    flat = np.full((64, 64), 77, dtype=np.uint8)
+    got = J.decode_jpeg(J.encode_jpeg_progressive(flat))
+    assert np.array_equal(got[..., 0], flat)
+
+
 def test_jpeg_unsupported_variants_raise():
     from websearchengine_spark.operators import jpeg as J
 
     rng = np.random.default_rng(35)
     px = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
-    blob = bytearray(J.encode_jpeg(px))
-    at = blob.index(b"\xff\xc0")
-    blob[at + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    # successive-approximation progressive (Ah != 0) rejected loudly:
+    # patch the Ah/Al byte of the first AC scan's SOS header
+    blob = bytearray(J.encode_jpeg_progressive(px))
+    first = blob.index(b"\xff\xda")
+    second = blob.index(b"\xff\xda", first + 2)
+    blob[second + 9] = 0x10  # Ah=1
     with pytest.raises(NotImplementedError):
         J.decode_jpeg(bytes(blob))
+    # progressive + chroma subsampling rejected at SOF parse
+    rgb = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    blob2 = bytearray(J.encode_jpeg_progressive(rgb))
+    at = blob2.index(b"\xff\xc2")
+    blob2[at + 11] = 0x22  # first component sampling 2x2
+    with pytest.raises(NotImplementedError):
+        J.decode_jpeg(bytes(blob2))
     with pytest.raises(ValueError):
         J.decode_jpeg(b"\x89PNG not a jpeg")
 

@@ -8,10 +8,11 @@ environment can parse bit-exactly from their public specs:
   P6/P5 (binary PPM/PGM), PNG (8-bit gray/RGB/palette/RGBA,
   non-interlaced — DEFLATE via stdlib ``zlib`` + numpy unfiltering of all
   five scanline filters), GIF 87a/89a (hand-rolled LZW decompressor,
-  variable code widths, interlace), and baseline JPEG
-  (operators/jpeg.py: Huffman entropy decode from arbitrary DHT tables,
-  dequant, IDCT, 4:2:0/4:2:2/4:4:4, restart markers) — no codec library
-  anywhere;
+  variable code widths, interlace), and JPEG — baseline
+  AND spectral-selection progressive (operators/jpeg.py: Huffman entropy
+  decode from arbitrary DHT tables, dequant, IDCT, 4:2:0/4:2:2/4:4:4,
+  restart markers, SOF2 multi-scan with EOBn end-of-band runs) — no
+  codec library anywhere;
 - audio: RIFF/WAVE PCM (8/16-bit, any channel count);
 - video: YUV4MPEG2 (y4m) — uncompressed frame stream with FRAME markers
   (C420/C444/Cmono), the interchange format ffmpeg pipelines emit.
@@ -19,7 +20,7 @@ environment can parse bit-exactly from their public specs:
 Codecs needing real entropy/transform stacks this container cannot verify
 (MP3, MP4/H.264...) raise ``NotImplementedError`` loudly rather than fake
 an answer, as do format variants outside the supported subsets (16-bit or
-Adam7-interlaced PNG, progressive/arithmetic/12-bit JPEG).  Resize is a
+Adam7-interlaced PNG, successive-approximation/arithmetic/12-bit JPEG).  Resize is a
 real nearest-neighbor
 resample (index arithmetic); features are real statistics of decoded
 pixels/samples.
@@ -83,7 +84,7 @@ def _reject_compressed(blob: bytes) -> None:
             raise NotImplementedError(
                 f"{name} decode requires a codec library not present in "
                 "this environment; supported real formats: BMP, PPM/PGM, "
-                "PNG (8-bit non-interlaced), GIF, baseline JPEG, PCM WAV, "
+                "PNG (8-bit non-interlaced), GIF, JPEG, PCM WAV, "
                 "YUV4MPEG2"
             )
 
