@@ -127,15 +127,44 @@ def test_png_unsupported_variants_raise():
     hdr16 = chunk(b"IHDR", _s.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
     with pytest.raises(NotImplementedError):
         M.decode_image(sig + hdr16 + chunk(b"IDAT", b"x") + chunk(b"IEND", b""))
-    # Adam7 interlace
-    hdr_i = chunk(b"IHDR", _s.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
-    with pytest.raises(NotImplementedError):
+    # invalid interlace method
+    hdr_i = chunk(b"IHDR", _s.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 7))
+    with pytest.raises(ValueError):
         M.decode_image(sig + hdr_i + chunk(b"IDAT", b"x") + chunk(b"IEND", b""))
     # palette image missing its PLTE
     hdr_p = chunk(b"IHDR", _s.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
     body = _z.compress(b"\x00\x00")
     with pytest.raises(ValueError):
         M.decode_image(sig + hdr_p + chunk(b"IDAT", body) + chunk(b"IEND", b""))
+
+
+def test_png_adam7_interlace_roundtrip():
+    """Adam7: seven independently-filtered sub-images scattered on the
+    pass grid; round-trip must be pixel-exact and equal the
+    non-interlaced decode, including tiny sizes where later passes are
+    empty and every filter type inside passes."""
+    rng = np.random.default_rng(13)
+    for h, w in [(1, 1), (2, 3), (5, 5), (8, 8), (13, 19)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        got = M.decode_image(
+            M.encode_png(px, filters=[0, 1, 2, 3, 4], interlace=True)
+        )
+        assert np.array_equal(
+            (got * 255.0).round().astype(np.uint8), px
+        ), (h, w)
+        plain = M.decode_image(M.encode_png(px))
+        assert np.array_equal(got, plain)
+    # gray + RGBA through the interlaced path too
+    gray = rng.integers(0, 256, size=(9, 6), dtype=np.uint8)
+    g = M.decode_image(M.encode_png(gray, filters=[4, 2], color=0,
+                                    interlace=True))
+    assert np.array_equal((g[..., 0] * 255.0).round().astype(np.uint8), gray)
+    rgba = rng.integers(0, 256, size=(10, 11, 4), dtype=np.uint8)
+    got = M.decode_image(M.encode_png(rgba, filters=[3], color=6,
+                                      interlace=True))
+    assert np.array_equal(
+        (got * 255.0).round().astype(np.uint8), rgba[..., :3]
+    )
 
 
 def test_png_palette_decode():

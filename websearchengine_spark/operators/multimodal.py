@@ -6,8 +6,8 @@ environment can parse bit-exactly from their public specs:
 
 - images: BMP (24-bit BI_RGB, bottom-up, 4-byte row padding), netpbm
   P6/P5 (binary PPM/PGM), PNG (8-bit gray/RGB/palette/RGBA,
-  non-interlaced — DEFLATE via stdlib ``zlib`` + numpy unfiltering of all
-  five scanline filters), GIF 87a/89a (hand-rolled LZW decompressor,
+  plain AND Adam7-interlaced — DEFLATE via stdlib ``zlib`` + numpy
+  unfiltering of all five scanline filters), GIF 87a/89a (hand-rolled LZW decompressor,
   variable code widths, interlace), and JPEG — baseline
   AND spectral-selection progressive (operators/jpeg.py: Huffman entropy
   decode from arbitrary DHT tables, dequant, IDCT, 4:2:0/4:2:2/4:4:4,
@@ -19,8 +19,8 @@ environment can parse bit-exactly from their public specs:
 
 Codecs needing real entropy/transform stacks this container cannot verify
 (MP3, MP4/H.264...) raise ``NotImplementedError`` loudly rather than fake
-an answer, as do format variants outside the supported subsets (16-bit or
-Adam7-interlaced PNG, successive-approximation/arithmetic/12-bit JPEG).  Resize is a
+an answer, as do format variants outside the supported subsets (16-bit PNG,
+successive-approximation/arithmetic/12-bit JPEG).  Resize is a
 real nearest-neighbor
 resample (index arithmetic); features are real statistics of decoded
 pixels/samples.
@@ -84,7 +84,7 @@ def _reject_compressed(blob: bytes) -> None:
             raise NotImplementedError(
                 f"{name} decode requires a codec library not present in "
                 "this environment; supported real formats: BMP, PPM/PGM, "
-                "PNG (8-bit non-interlaced), GIF, JPEG, PCM WAV, "
+                "PNG, GIF, JPEG, PCM WAV, "
                 "YUV4MPEG2"
             )
 
@@ -274,14 +274,19 @@ def _lzw_decode(data: bytes, min_code: int, max_pixels: int) -> list[int]:
 # PNG color type -> samples per pixel (8-bit depth)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+# Adam7 pass layout: (x0, y0, dx, dy)
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
 
 def _decode_png(blob: bytes) -> np.ndarray:
     """Real PNG decode with stdlib ``zlib`` + numpy unfiltering — no codec
     library.  Supports the web-common subset: 8-bit depth, color types 0
-    (gray) / 2 (RGB) / 3 (palette) / 4 (gray+alpha) / 6 (RGBA), interlace
-    0; all five scanline filters (None/Sub/Up/Average/Paeth).  Alpha is
-    dropped (features pool over color); 16-bit and Adam7 interlacing raise
-    loudly rather than approximate."""
+    (gray) / 2 (RGB) / 3 (palette) / 4 (gray+alpha) / 6 (RGBA), all five
+    scanline filters (None/Sub/Up/Average/Paeth), and BOTH interlace
+    modes — Adam7 passes are seven independently-filtered sub-images
+    scattered on the (x0, y0, dx, dy) grid.  Alpha is dropped (features
+    pool over color); 16-bit raises loudly rather than approximate."""
     import zlib
 
     i, hdr, plte, idat = 8, None, None, []
@@ -303,19 +308,39 @@ def _decode_png(blob: bytes) -> np.ndarray:
     w, h, depth, color, _comp, _filt, interlace = hdr
     if depth != 8:
         raise NotImplementedError(f"{depth}-bit PNG not supported (8 only)")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
     if color not in _PNG_CHANNELS:
         raise NotImplementedError(f"PNG color type {color} not supported")
     if color == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
     ch = _PNG_CHANNELS[color]
     raw = zlib.decompress(b"".join(idat))
-    stride = w * ch
-    if len(raw) < h * (stride + 1):
-        raise ValueError("truncated PNG scanline data")
-    samples = _png_unfilter(np.frombuffer(raw, dtype=np.uint8), h, stride, ch)
-    px = samples.reshape(h, w, ch)
+    if interlace == 1:  # Adam7: seven independently-filtered sub-images
+        px = np.zeros((h, w, ch), np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            pstride = pw * ch
+            need = ph * (pstride + 1)
+            if len(raw) < off + need:
+                raise ValueError("truncated PNG Adam7 pass data")
+            sub = _png_unfilter(
+                np.frombuffer(raw, np.uint8, need, off), ph, pstride, ch
+            )
+            off += need
+            px[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+    else:
+        stride = w * ch
+        if len(raw) < h * (stride + 1):
+            raise ValueError("truncated PNG scanline data")
+        samples = _png_unfilter(
+            np.frombuffer(raw, dtype=np.uint8), h, stride, ch
+        )
+        px = samples.reshape(h, w, ch)
     if color == 3:
         px = plte[px[..., 0]]
     elif ch == 2:  # gray+alpha -> gray
@@ -823,28 +848,15 @@ def encode_bmp(px: np.ndarray) -> bytes:
     return header + info + bytes(body)
 
 
-def encode_png(
-    px: np.ndarray, filters: list[int] | None = None, color: int = 2
-) -> bytes:
-    """uint8 pixels -> 8-bit PNG (independent writer used by tests to
-    prove the decoder against known pixels).  ``filters`` picks the
-    per-scanline filter type (0-4, default all 0) so tests exercise every
-    inverse filter; the encoder applies the FORWARD filter transform —
-    the decoder must invert it exactly.  ``color``: 2 = RGB (HxWx3 input),
-    0 = gray (HxW), 6 = RGBA (HxWx4)."""
-    import zlib
-
-    ch = {0: 1, 2: 3, 6: 4}[color]
-    if px.ndim == 2:
-        px = px[..., None]
+def _png_filter_rows(px: np.ndarray, filters: list[int], bpp: int) -> bytes:
+    """FORWARD-filter one (sub-)image's rows (the inverse of
+    _png_unfilter); ``prev`` resets at the image start, as each Adam7
+    pass is independently filtered."""
     h, w = px.shape[:2]
-    assert px.shape[2] == ch
-    filters = filters or [0] * h
-    bpp = ch
     lines = bytearray()
-    prev = np.zeros(w * ch, dtype=np.int32)
+    prev = np.zeros(w * bpp, dtype=np.int32)
     for y in range(h):
-        ft = filters[y]
+        ft = filters[y % len(filters)]
         cur = px[y].reshape(-1).astype(np.int32)
         if ft == 0:
             enc = cur
@@ -857,8 +869,8 @@ def encode_png(
             left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
             enc = (cur - ((left + prev) >> 1)) & 0xFF
         elif ft == 4:
-            enc = np.zeros(w * ch, dtype=np.int32)
-            for x in range(w * ch):
+            enc = np.zeros(w * bpp, dtype=np.int32)
+            for x in range(w * bpp):
                 a = int(cur[x - bpp]) if x >= bpp else 0
                 b = int(prev[x])
                 c = int(prev[x - bpp]) if x >= bpp else 0
@@ -870,6 +882,39 @@ def encode_png(
             raise ValueError(f"invalid filter {ft}")
         lines += bytes([ft]) + enc.astype(np.uint8).tobytes()
         prev = cur
+    return bytes(lines)
+
+
+def encode_png(
+    px: np.ndarray,
+    filters: list[int] | None = None,
+    color: int = 2,
+    interlace: bool = False,
+) -> bytes:
+    """uint8 pixels -> 8-bit PNG (independent writer used by tests to
+    prove the decoder against known pixels).  ``filters`` picks the
+    per-scanline filter type (0-4, default all 0, cycled) so tests
+    exercise every inverse filter; the encoder applies the FORWARD filter
+    transform — the decoder must invert it exactly.  ``color``: 2 = RGB
+    (HxWx3 input), 0 = gray (HxW), 6 = RGBA (HxWx4).  ``interlace``
+    writes the Adam7 layout (seven independently-filtered sub-images)."""
+    import zlib
+
+    ch = {0: 1, 2: 3, 6: 4}[color]
+    if px.ndim == 2:
+        px = px[..., None]
+    h, w = px.shape[:2]
+    assert px.shape[2] == ch
+    filters = filters or [0]
+    if interlace:
+        lines = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                lines += _png_filter_rows(sub, filters, ch)
+        lines = bytes(lines)
+    else:
+        lines = _png_filter_rows(px, filters, ch)
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         return (
@@ -879,11 +924,11 @@ def encode_png(
             + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, int(interlace))
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IDAT", zlib.compress(lines))
         + chunk(b"IEND", b"")
     )
 
