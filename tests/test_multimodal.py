@@ -2,7 +2,8 @@
 PCM WAV / YUV4MPEG2) proved against independently-written encoders, a
 header-only probe for every container (incl. MP4 box walk and MP3 frame
 walk), honest NotImplementedError for payloads the container can't parse
-(MP3/MP4 decode, 16-bit or interlaced PNG, progressive JPEG), plus the
+(MP3/MP4 decode, packed sub-8-bit PNG, successive-approximation JPEG),
+plus the
 Spark plumbing (schema, fan-out, determinism)."""
 
 from __future__ import annotations
@@ -123,10 +124,10 @@ def test_png_unsupported_variants_raise():
                 + _s.pack(">I", _z.crc32(ctype + body) & 0xFFFFFFFF))
 
     sig = b"\x89PNG\r\n\x1a\n"
-    # 16-bit depth
-    hdr16 = chunk(b"IHDR", _s.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+    # unsupported bit depth (1/2/4-bit packed samples)
+    hdr4 = chunk(b"IHDR", _s.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0))
     with pytest.raises(NotImplementedError):
-        M.decode_image(sig + hdr16 + chunk(b"IDAT", b"x") + chunk(b"IEND", b""))
+        M.decode_image(sig + hdr4 + chunk(b"IDAT", b"x") + chunk(b"IEND", b""))
     # invalid interlace method
     hdr_i = chunk(b"IHDR", _s.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 7))
     with pytest.raises(ValueError):
@@ -592,3 +593,37 @@ def test_jpeg_422_subsampling():
     got = J.decode_jpeg(J.encode_jpeg(smooth, subsample="422")).astype(int)
     assert got.shape == smooth.shape
     assert np.abs(got - smooth.astype(int)).max() <= 2
+
+
+def test_png_16bit_roundtrip():
+    """16-bit PNG: big-endian samples, byte-wise filters (bpp = ch*2) —
+    round-trip exact at 1/65535 precision, plain and Adam7, RGB and
+    gray; palette+16-bit is invalid and rejected."""
+    import struct as _s
+    import zlib as _z
+
+    rng = np.random.default_rng(17)
+    px16 = rng.integers(0, 65536, size=(7, 9, 3), dtype=np.uint16)
+    got = M.decode_image(M.encode_png(px16, filters=[0, 1, 2, 3, 4], depth=16))
+    assert np.array_equal(
+        np.round(got * 65535.0).astype(np.uint16), px16
+    )
+    g16 = rng.integers(0, 65536, size=(11, 5), dtype=np.uint16)
+    got2 = M.decode_image(
+        M.encode_png(g16, filters=[4, 3], color=0, depth=16, interlace=True)
+    )
+    assert np.array_equal(
+        np.round(got2[..., 0] * 65535.0).astype(np.uint16), g16
+    )
+    assert np.array_equal(got2[..., 0], got2[..., 2])
+
+    def chunk(ctype, body):
+        return (_s.pack(">I", len(body)) + ctype + body
+                + _s.pack(">I", _z.crc32(ctype + body) & 0xFFFFFFFF))
+
+    bad = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", _s.pack(">IIBBBBB", 1, 1, 16, 3, 0, 0, 0))
+           + chunk(b"IDAT", _z.compress(b"\x00\x00\x00"))
+           + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        M.decode_image(bad)

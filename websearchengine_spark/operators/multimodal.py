@@ -5,7 +5,7 @@ Decode is REAL for the uncompressed container formats a numpy-only
 environment can parse bit-exactly from their public specs:
 
 - images: BMP (24-bit BI_RGB, bottom-up, 4-byte row padding), netpbm
-  P6/P5 (binary PPM/PGM), PNG (8-bit gray/RGB/palette/RGBA,
+  P6/P5 (binary PPM/PGM), PNG (8/16-bit gray/RGB/palette/RGBA,
   plain AND Adam7-interlaced — DEFLATE via stdlib ``zlib`` + numpy
   unfiltering of all five scanline filters), GIF 87a/89a (hand-rolled LZW decompressor,
   variable code widths, interlace), and JPEG — baseline
@@ -19,8 +19,8 @@ environment can parse bit-exactly from their public specs:
 
 Codecs needing real entropy/transform stacks this container cannot verify
 (MP3, MP4/H.264...) raise ``NotImplementedError`` loudly rather than fake
-an answer, as do format variants outside the supported subsets (16-bit PNG,
-successive-approximation/arithmetic/12-bit JPEG).  Resize is a
+an answer, as do format variants outside the supported subsets (1/2/4-bit packed
+PNG, successive-approximation/arithmetic/12-bit JPEG).  Resize is a
 real nearest-neighbor
 resample (index arithmetic); features are real statistics of decoded
 pixels/samples.
@@ -306,8 +306,10 @@ def _decode_png(blob: bytes) -> np.ndarray:
     if hdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT chunk")
     w, h, depth, color, _comp, _filt, interlace = hdr
-    if depth != 8:
-        raise NotImplementedError(f"{depth}-bit PNG not supported (8 only)")
+    if depth not in (8, 16):
+        raise NotImplementedError(f"{depth}-bit PNG not supported (8/16)")
+    if depth == 16 and color == 3:
+        raise ValueError("palette PNG cannot be 16-bit")
     if interlace not in (0, 1):
         raise ValueError(f"invalid PNG interlace method {interlace}")
     if color not in _PNG_CHANNELS:
@@ -315,32 +317,33 @@ def _decode_png(blob: bytes) -> np.ndarray:
     if color == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
     ch = _PNG_CHANNELS[color]
+    nb = depth // 8  # PNG filters operate on BYTES; bpp = ch * nb
     raw = zlib.decompress(b"".join(idat))
     if interlace == 1:  # Adam7: seven independently-filtered sub-images
-        px = np.zeros((h, w, ch), np.uint8)
+        px = np.zeros((h, w, ch), np.uint8 if nb == 1 else np.uint16)
         off = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            pstride = pw * ch
+            pstride = pw * ch * nb
             need = ph * (pstride + 1)
             if len(raw) < off + need:
                 raise ValueError("truncated PNG Adam7 pass data")
             sub = _png_unfilter(
-                np.frombuffer(raw, np.uint8, need, off), ph, pstride, ch
+                np.frombuffer(raw, np.uint8, need, off), ph, pstride, ch * nb
             )
             off += need
-            px[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+            px[y0::dy, x0::dx] = _png_samples(sub, ph, pw, ch, nb)
     else:
-        stride = w * ch
+        stride = w * ch * nb
         if len(raw) < h * (stride + 1):
             raise ValueError("truncated PNG scanline data")
         samples = _png_unfilter(
-            np.frombuffer(raw, dtype=np.uint8), h, stride, ch
+            np.frombuffer(raw, dtype=np.uint8), h, stride, ch * nb
         )
-        px = samples.reshape(h, w, ch)
+        px = _png_samples(samples, h, w, ch, nb)
     if color == 3:
         px = plte[px[..., 0]]
     elif ch == 2:  # gray+alpha -> gray
@@ -349,7 +352,23 @@ def _decode_png(blob: bytes) -> np.ndarray:
         px = px[..., :3]
     if px.shape[2] == 1:
         px = np.repeat(px, 3, axis=2)
-    return px.astype(np.float32) / 255.0
+    maxval = 65535.0 if px.dtype == np.uint16 else 255.0
+    return px.astype(np.float32) / maxval
+
+
+def _png_samples(
+    rows: np.ndarray, h: int, w: int, ch: int, nb: int
+) -> np.ndarray:
+    """Unfiltered scanline bytes -> (h, w, ch) samples; 16-bit samples are
+    big-endian per the PNG spec."""
+    if nb == 1:
+        return rows.reshape(h, w, ch)
+    return (
+        rows.reshape(h, w * ch * 2)
+        .view(">u2")
+        .astype(np.uint16)
+        .reshape(h, w, ch)
+    )
 
 
 def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
@@ -849,12 +868,15 @@ def encode_bmp(px: np.ndarray) -> bytes:
 
 
 def _png_filter_rows(px: np.ndarray, filters: list[int], bpp: int) -> bytes:
-    """FORWARD-filter one (sub-)image's rows (the inverse of
+    """FORWARD-filter one (sub-)image's BYTE rows (the inverse of
     _png_unfilter); ``prev`` resets at the image start, as each Adam7
-    pass is independently filtered."""
-    h, w = px.shape[:2]
+    pass is independently filtered.  Row stride comes from the data so
+    callers may pass (h, w, ch) uint8 pixels or (h, stride) raw bytes
+    (16-bit samples pre-serialized big-endian)."""
+    h = px.shape[0]
+    stride = px[0].reshape(-1).size
     lines = bytearray()
-    prev = np.zeros(w * bpp, dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
     for y in range(h):
         ft = filters[y % len(filters)]
         cur = px[y].reshape(-1).astype(np.int32)
@@ -869,8 +891,8 @@ def _png_filter_rows(px: np.ndarray, filters: list[int], bpp: int) -> bytes:
             left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
             enc = (cur - ((left + prev) >> 1)) & 0xFF
         elif ft == 4:
-            enc = np.zeros(w * bpp, dtype=np.int32)
-            for x in range(w * bpp):
+            enc = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
                 a = int(cur[x - bpp]) if x >= bpp else 0
                 b = int(prev[x])
                 c = int(prev[x - bpp]) if x >= bpp else 0
@@ -890,31 +912,44 @@ def encode_png(
     filters: list[int] | None = None,
     color: int = 2,
     interlace: bool = False,
+    depth: int = 8,
 ) -> bytes:
-    """uint8 pixels -> 8-bit PNG (independent writer used by tests to
-    prove the decoder against known pixels).  ``filters`` picks the
+    """pixels -> 8/16-bit PNG (independent writer used by tests to prove
+    the decoder against known pixels).  ``filters`` picks the
     per-scanline filter type (0-4, default all 0, cycled) so tests
     exercise every inverse filter; the encoder applies the FORWARD filter
     transform — the decoder must invert it exactly.  ``color``: 2 = RGB
     (HxWx3 input), 0 = gray (HxW), 6 = RGBA (HxWx4).  ``interlace``
-    writes the Adam7 layout (seven independently-filtered sub-images)."""
+    writes the Adam7 layout (seven independently-filtered sub-images);
+    ``depth=16`` takes uint16 input (big-endian samples on the wire,
+    filters still byte-wise per the spec)."""
     import zlib
 
     ch = {0: 1, 2: 3, 6: 4}[color]
     if px.ndim == 2:
         px = px[..., None]
     h, w = px.shape[:2]
-    assert px.shape[2] == ch
+    assert px.shape[2] == ch and depth in (8, 16)
     filters = filters or [0]
+    nb = depth // 8
+
+    def rows_of(pxa: np.ndarray) -> np.ndarray:
+        if nb == 1:
+            return pxa
+        # serialize 16-bit samples big-endian, then filter byte-wise
+        return (
+            pxa.astype(">u2").reshape(pxa.shape[0], -1).view(np.uint8)
+        )
+
     if interlace:
         lines = bytearray()
         for x0, y0, dx, dy in _ADAM7:
             sub = px[y0::dy, x0::dx]
             if sub.shape[0] and sub.shape[1]:
-                lines += _png_filter_rows(sub, filters, ch)
+                lines += _png_filter_rows(rows_of(sub), filters, ch * nb)
         lines = bytes(lines)
     else:
-        lines = _png_filter_rows(px, filters, ch)
+        lines = _png_filter_rows(rows_of(px), filters, ch * nb)
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         return (
@@ -924,7 +959,7 @@ def encode_png(
             + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, int(interlace))
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, int(interlace))
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
