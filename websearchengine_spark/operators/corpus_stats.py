@@ -73,18 +73,26 @@ def ngram_counts(docs: DataFrame, n: int = 2, k: int = 100) -> DataFrame:
 def repetition_scores(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, n_ngrams, n_distinct, rep_score) — duplicate n-gram
     fraction per doc (Gopher repetition filter); docs shorter than n
-    tokens score 0 with n_ngrams = 0."""
-    grams = docs.select("doc_id", F.explode_outer(ngrams_col(n)).alias("g"))
-    agg = grams.groupBy("doc_id").agg(
-        F.count("g").cast("long").alias("n_ngrams"),
-        F.count_distinct("g").cast("long").alias("n_distinct"),
+    tokens score 0 with n_ngrams = 0.
+
+    Pure map-side projection: the score depends only on each doc's own
+    gram array (already materialized by ``ngrams_col``), so both counts
+    are column expressions — ``size(grams)`` / ``size(array_distinct(
+    grams))`` — with zero explode and zero shuffle.  At corpus scale an
+    explode + groupBy formulation would shuffle O(total tokens) rows to
+    recompute a per-row fact."""
+    grams = F.explode(F.array(ngrams_col(n)))
+    base = docs.select("doc_id", grams.alias("grams")).select(
+        "doc_id",
+        F.size("grams").cast("long").alias("n_ngrams"),
+        F.size(F.array_distinct("grams")).cast("long").alias("n_distinct"),
     )
     score = F.when(
         F.col("n_ngrams") > 0,
         F.round(1.0 - F.col("n_distinct") / F.col("n_ngrams"), 6),
     ).otherwise(F.lit(0.0))
-    return agg.select("doc_id", "n_ngrams", "n_distinct",
-                      score.alias("rep_score"))
+    return base.select("doc_id", "n_ngrams", "n_distinct",
+                       score.alias("rep_score"))
 
 
 def contamination_overlap(
@@ -153,14 +161,18 @@ def sequence_pack(
     doc whose tokens straddle a boundary is charged to the bin where its
     prefix starts, so bins can overflow by at most one doc — the
     standard approximation when packing 10^12 docs, where a sequential
-    greedy pass cannot run.  The global prefix sum is DISTRIBUTED the
-    same way assign_doc_ids distributes its dense rank: range-partition
-    by doc_id, one tiny pass collects per-partition token totals
-    (n_parts rows on the driver), then each partition computes its local
-    exclusive prefix against the broadcast offset — never a
-    single-partition window."""
-    from typing import Iterator
-
+    greedy pass cannot run.  The global prefix sum is distributed over
+    DETERMINISTIC doc_id range buckets: the bucket boundaries are
+    computed once (percentile sketch), collected, and embedded as
+    LITERALS in both downstream jobs, so the totals pass and the
+    assignment pass are guaranteed to see identical bucket contents.
+    (``repartitionByRange`` would NOT guarantee that: RangePartitioner
+    re-samples with an RDD-id-dependent seed on each execution, so two
+    jobs over the same uncached plan can disagree on boundaries and
+    silently mis-bin.)  The totals pass is an exact ``groupBy(pid)``
+    (n_parts driver rows); assignment is one ``applyInPandas`` per
+    bucket computing the local exclusive prefix against its broadcast
+    offset — never a single-partition window."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -168,35 +180,36 @@ def sequence_pack(
     if n_parts is None:
         n_parts = max(spark.sparkContext.defaultParallelism, 8)
     toks = _toks_clean()
-    base = (
-        docs.select("doc_id", F.size(toks).cast("long").alias("n_tokens"))
-        .repartitionByRange(n_parts, "doc_id")
-        .sortWithinPartitions("doc_id")
-    )
+    sized = docs.select("doc_id", F.size(toks).cast("long").alias("n_tokens"))
 
-    counts_schema = T.StructType(
-        [T.StructField("pid", T.IntegerType()),
-         T.StructField("total", T.LongType())]
-    )
+    # bucket boundaries: any split works as long as BOTH passes use the
+    # same one, so approx percentiles are fine — they become literals.
+    qs = [i / n_parts for i in range(1, n_parts)]
+    brow = sized.select(
+        F.percentile_approx("doc_id", qs).alias("b")
+    ).head()
+    bounds = sorted({int(b) for b in (brow.b if brow and brow.b else [])})
+    if bounds:
+        barr = F.array(*[F.lit(b).cast("long") for b in bounds])
+        pid = F.aggregate(
+            barr,
+            F.lit(0),
+            lambda acc, b: acc
+            + F.when(F.col("doc_id") > b, F.lit(1)).otherwise(F.lit(0)),
+        )
+    else:
+        pid = F.lit(0)
+    sized = sized.withColumn("pid", pid.cast("int"))
 
-    def _totals(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        total = 0
-        for b in batches:
-            total += int(b["n_tokens"].sum())
-        yield pd.DataFrame({"pid": [pid], "total": [total]})
-
-    counts = sorted(
-        base.mapInPandas(_totals, counts_schema).collect(),
+    totals = sorted(
+        sized.groupBy("pid").agg(F.sum("n_tokens").alias("total")).collect(),
         key=lambda r: r.pid,
     )
     offsets = {}
     acc = 0
-    for r in counts:
+    for r in totals:
         offsets[r.pid] = acc
-        acc += r.total
+        acc += int(r.total or 0)
     boff = spark.sparkContext.broadcast(offsets)
 
     out_schema = T.StructType(
@@ -205,21 +218,19 @@ def sequence_pack(
          T.StructField("bin_id", T.LongType())]
     )
 
-    def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _assign(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
-        from pyspark import TaskContext
 
-        run = boff.value.get(TaskContext.get().partitionId(), 0)
-        for b in batches:
-            n = b["n_tokens"].to_numpy()
-            prefix = run + np.concatenate([[0], np.cumsum(n)[:-1]])
-            run += int(n.sum())
-            yield pd.DataFrame(
-                {"doc_id": b["doc_id"], "n_tokens": b["n_tokens"],
-                 "bin_id": (prefix // budget).astype("int64")}
-            )
+        pdf = pdf.sort_values("doc_id")
+        n = pdf["n_tokens"].to_numpy()
+        run = boff.value.get(int(pdf["pid"].iloc[0]), 0)
+        prefix = run + np.concatenate([[0], np.cumsum(n)[:-1]])
+        return pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "n_tokens": pdf["n_tokens"],
+             "bin_id": (prefix // budget).astype("int64")}
+        )
 
-    return base.mapInPandas(_assign, out_schema)
+    return sized.groupBy("pid").applyInPandas(_assign, out_schema)
 
 
 def source_mix(docs: DataFrame) -> DataFrame:

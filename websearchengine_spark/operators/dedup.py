@@ -57,16 +57,50 @@ def tokens_col(text_col="text") -> F.Column:
     )
 
 
+def _estimated_scan_splits(df: DataFrame) -> int:
+    """Estimate how many scan tasks the source will produce, from plan
+    metadata only (no job, no ``df.rdd`` — converting the scan plan to an
+    RDD is exactly the cost indexer.assign_doc_ids avoids).  File count
+    alone is only a LOWER bound: one large multi-row-group parquet file
+    still splits into ``ceil(bytes / maxPartitionBytes)`` tasks, so when
+    the files are statable we size by bytes and take the max of the two.
+    Non-statable schemes (object stores) fall back to the file count."""
+    files = df.inputFiles()
+    if not files:
+        return 0
+    try:
+        import os
+        from urllib.parse import unquote, urlparse
+
+        total = 0
+        for f in files:
+            p = urlparse(f)
+            if p.scheme not in ("", "file"):
+                raise OSError(f"non-local scheme {p.scheme}")
+            total += os.path.getsize(unquote(p.path))
+        raw = df.sparkSession.conf.get(
+            "spark.sql.files.maxPartitionBytes", "134217728b"
+        )
+        mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+        low = raw.strip().lower().removesuffix("b")
+        mpb = (
+            int(low[:-1]) * mult[low[-1]]
+            if low and low[-1] in mult
+            else int(low)
+        )
+        return max(len(files), -(-total // max(mpb, 1)))
+    except (OSError, ValueError):
+        return len(files)
+
+
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """Small test files arrive as 1-2 splits, which would serialize the
     map-side hashing below onto one core; widen to the session's default
-    parallelism.  Width is judged by the source file count (``inputFiles``
-    — plan metadata, no job), NOT ``df.rdd`` — converting the scan plan to
-    an RDD is exactly the cost indexer.assign_doc_ids avoids.  At real
-    scale the source table is already many files wide and this is a no-op;
-    non-file sources (in-memory test frames) report zero files and widen."""
+    parallelism.  At real scale the source scan is already many splits
+    wide and this is a no-op; non-file sources (in-memory test frames)
+    report zero files and widen."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if len(df.inputFiles()) < max(2, target // 2):
+    if _estimated_scan_splits(df) < max(2, target // 2):
         return df.repartition(target)
     return df
 

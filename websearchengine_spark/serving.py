@@ -69,27 +69,53 @@ class IndexServer:
         self._stats_path = os.path.join(index_dir, "term_stats")
         self.term_df: dict | None = None
         self.term_chunks: dict | None = None
-        if preload_stats and os.path.exists(self._stats_path):
+        self._prev_shuffle_partitions: str | None = None
+        if preload_stats:
+            # serve-latency tuning applies in resident mode regardless of
+            # whether the stats sidecar exists — an index built without it
+            # still wants cached, coalesced segments
             if serve_partitions:
                 # segment cache keeps 2x width: the WAND decode pass is
                 # CPU-bound Python and wants parallelism, while shuffle
                 # stages want few fat tasks (measured A/B in BASELINE.md)
                 self.segs = self.segs.coalesce(serve_partitions * 2)
+                # session-global conf: remember the prior value so
+                # close() restores it — a batch job sharing this session
+                # must not inherit the narrow serve width
+                self._prev_shuffle_partitions = spark.conf.get(
+                    "spark.sql.shuffle.partitions", None
+                )
                 spark.conf.set(
                     "spark.sql.shuffle.partitions", str(serve_partitions)
                 )
             self.segs = self.segs.cache()
-            stats_df = spark.read.parquet(self._stats_path)
-            rows = stats_df.collect()
-            self.term_df = {r.term: r.df for r in rows}
-            if "n_chunks" in stats_df.columns:
-                self.term_chunks = {r.term: r.n_chunks for r in rows}
+            if os.path.exists(self._stats_path):
+                stats_df = spark.read.parquet(self._stats_path)
+                rows = stats_df.collect()
+                self.term_df = {r.term: r.df for r in rows}
+                if "n_chunks" in stats_df.columns:
+                    self.term_chunks = {r.term: r.n_chunks for r in rows}
         docs_path = os.path.join(index_dir, "docs")
         self.titles = (
             spark.read.parquet(docs_path)
             if os.path.exists(docs_path)
             else None
         )
+
+    def close(self) -> None:
+        """Release the serve session's footprint: uncache the segment
+        table and restore the session's previous shuffle-partition width
+        (the resident pin is serve-only tuning, not a session policy)."""
+        try:
+            self.segs.unpersist()
+        except Exception:
+            pass
+        if self._prev_shuffle_partitions is not None:
+            self.spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                self._prev_shuffle_partitions,
+            )
+            self._prev_shuffle_partitions = None
 
     def _term_maps_for(
         self, words: list[str]
