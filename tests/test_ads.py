@@ -195,3 +195,40 @@ def test_rank_ads_parity_shipped_corpus(spark, query):
         assert r.score == pytest.approx(s, rel=1e-9)
     if query == "science news":
         assert got, "real science ads must match the science query"
+
+
+def test_ads_tables_gate_shapes(spark):
+    """Gate tokenization tables over the shipped TSV: 27 ads, postings
+    tf mass equals summed doc lengths, title vocabulary is a subset."""
+    ads, postings, title_tf = A.ads_tables_gate(spark)
+    assert ads.count() == 27
+    assert ads.where(F.col("doc_len") <= 0).count() == 0
+    assert (
+        postings.agg(F.sum("tf")).head()[0]
+        == ads.agg(F.sum("doc_len")).head()[0]
+    )
+    doc_vocab = {r.term for r in postings.select("term").distinct().collect()}
+    title_vocab = {
+        r.term for r in title_tf.select("term").distinct().collect()
+    }
+    assert title_vocab <= doc_vocab
+    # company/ad_id split reconstructs the key
+    bad = ads.where(
+        F.concat_ws("_", "company", "ad_id") != F.col("ad_key")
+    ).count()
+    assert bad == 0
+
+
+def test_rank_ads_tokens_override(spark, ads_setup):
+    """Explicit ``tokens`` must reproduce the parse_query path exactly
+    when given the same tokens (the driver gate's bypass)."""
+    rows, ads, postings, title_tf, bids, ctr = ads_setup
+    query = "web data"
+    toks = [t for t in parse_query(query) if " " not in t]
+    via_query = A.rank_ads(ads, postings, title_tf, bids, ctr, query).collect()
+    via_tokens = A.rank_ads(
+        ads, postings, title_tf, bids, ctr, "IGNORED", tokens=toks
+    ).collect()
+    assert [(r.ad_key, r.score) for r in via_query] == [
+        (r.ad_key, r.score) for r in via_tokens
+    ]

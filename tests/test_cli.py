@@ -140,3 +140,16 @@ def test_http_prf_route(spark, http_index):
         assert ok.splitlines()
     finally:
         httpd.shutdown()
+
+
+def test_index_server_close_restores_shuffle_conf(spark, http_index):
+    """The resident serve pin is scoped: close() must restore the
+    session's previous shuffle-partition width."""
+    from websearchengine_spark import serving
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    srv = serving.IndexServer(spark, http_index, serve_partitions=4)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+    assert srv.term_df is not None  # stats sidecar preloaded
+    srv.close()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev

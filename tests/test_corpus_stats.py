@@ -114,3 +114,30 @@ def test_contamination_broadcast_path(spark, crafted):
     big = {(r.doc_id, r.n_hits, r.n_probes_hit)
            for r in CS.contamination_overlap(crafted, probes, 2, isin_max=1).collect()}
     assert small == big and small
+
+
+def test_sequence_pack_multi_bucket_matches_global_cumsum(spark, crafted):
+    """With several range buckets the distributed exclusive prefix must
+    equal the single global cumsum in doc_id order (the two-pass bucket
+    boundaries are literals, so totals and assignment see identical
+    buckets by construction)."""
+    got = {r.doc_id: r.bin_id
+           for r in CS.sequence_pack(crafted, budget=6, n_parts=3).collect()}
+    rows = sorted(
+        (r.doc_id, r.n_tokens)
+        for r in CS.sequence_pack(crafted, budget=6, n_parts=1)
+        .select("doc_id", "n_tokens").collect()
+    )
+    acc = 0
+    want = {}
+    for doc_id, n in rows:
+        want[doc_id] = acc // 6
+        acc += n
+    assert got == want
+
+
+def test_repetition_scores_plan_is_shuffle_free(spark, crafted):
+    """The repetition filter is a per-row fact; its plan must contain no
+    Exchange (a groupBy formulation would shuffle O(tokens) rows)."""
+    plan = CS.repetition_scores(crafted, 3)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -627,3 +627,18 @@ def test_png_16bit_roundtrip():
            + chunk(b"IEND", b""))
     with pytest.raises(ValueError):
         M.decode_image(bad)
+
+
+def test_encode_jpeg_rejects_out_of_range_qtable():
+    """DQT is emitted with pq=0 (8-bit); entries > 255 must raise instead
+    of silently wrapping mod 256 into a wrong-pixel stream."""
+    from websearchengine_spark.operators import jpeg as J
+
+    px = np.full((8, 8), 128, np.uint8)
+    bad = np.full((8, 8), 300, np.int64)
+    with pytest.raises(NotImplementedError):
+        J.encode_jpeg(px, qtable=bad)
+    with pytest.raises(NotImplementedError):
+        J.encode_jpeg_progressive(px, qtable=bad)
+    with pytest.raises(ValueError):
+        J.encode_jpeg(px, qtable=np.ones((4, 4), np.int64))

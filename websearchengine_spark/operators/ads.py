@@ -74,6 +74,53 @@ def ads_tables_from_tsv(spark, path: str = ADS_TSV):
     return ads_tables(spark, rows)
 
 
+def ads_tables_gate(spark, path: str = ADS_TSV):
+    """(ads, postings, title_tf) under the GATE tokenization (lower +
+    non-alphanumeric split — SQL-expressible so the DuckDB driver oracle
+    can rebuild the same tables independently); the reference-exact
+    stemmed pipeline stays in ``ads_tables``/``ads_tables_from_tsv``
+    (pytest parity).  Everything is Spark column expressions over the
+    TSV scan, shared with the oracle SQL in plans/registry_ads.py."""
+    raw = (
+        spark.read.option("sep", "\t").option("quote", "").csv(path)
+        .select(
+            F.col("_c0").alias("ad_key"),
+            F.col("_c1").alias("title"),
+            F.col("_c2").alias("body"),
+        )
+    )
+
+    def toks(col):
+        return F.split(
+            F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " ")), " "
+        )
+
+    tt = raw.select(
+        "ad_key",
+        F.regexp_replace("ad_key", "_[^_]*$", "").alias("company"),
+        F.substring_index("ad_key", "_", -1).alias("ad_id"),
+        "title",
+        "body",
+        toks(F.col("title")).alias("ttoks"),
+        toks(F.concat_ws(" ", "title", "body")).alias("dtoks"),
+    )
+    ads = tt.select(
+        "ad_key", "company", "ad_id", "title", "body",
+        F.size("dtoks").cast("int").alias("doc_len"),
+    )
+    postings = (
+        tt.select("ad_key", F.explode("dtoks").alias("term"))
+        .groupBy("term", "ad_key")
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+    )
+    title_tf = (
+        tt.select("ad_key", F.explode("ttoks").alias("term"))
+        .groupBy("term", "ad_key")
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+    )
+    return ads, postings, title_tf
+
+
 def ads_tables(spark, ads_rows: list[tuple[str, str, str]]):
     """(ads, postings, title_tf) from (company_ads, title, body) rows.
     Ad doc = title tokens ++ body tokens per ``ad_tokens`` (the faithful
@@ -209,9 +256,14 @@ def rank_ads(
     ctr: DataFrame,
     query: str,
     k: int = TOP_ADS,
+    tokens: list[str] | None = None,
 ) -> DataFrame:
-    """(ad_key, score) — the R9 auction blend, top-k (default 3)."""
-    tokens = [t for t in parse_query(query.lower()) if " " not in t]
+    """(ad_key, score) — the R9 auction blend, top-k (default 3).
+    ``tokens`` overrides the reference query tokenization (stem +
+    stopword) with pre-tokenized terms — the driver gate passes
+    gate-tokenized terms so the DuckDB oracle stays in lockstep."""
+    if tokens is None:
+        tokens = [t for t in parse_query(query.lower()) if " " not in t]
     if not tokens:
         return ads.sparkSession.createDataFrame([], "ad_key string, score double")
     qbids = bids.where(F.col("keyword").isin(tokens))

@@ -576,12 +576,19 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
 
 
 def _full_registry() -> dict[str, tuple[Callable, str | None]]:
-    from websearchengine_spark.plans import registry_ext, registry_ref
+    from websearchengine_spark.plans import (
+        registry_ads,
+        registry_ext,
+        registry_rankers,
+        registry_ref,
+    )
 
     return {
         **REGISTRY,
         **registry_ext.EXT_REGISTRY,
         **registry_ref.REF_REGISTRY,
+        **registry_ads.ADS_REGISTRY,
+        **registry_rankers.RANKERS_REGISTRY,
     }
 
 
