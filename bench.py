@@ -93,17 +93,27 @@ def main() -> None:
     except ValueError:
         sf = None
 
+    # Interleaved best-of-N (default 2): the full suite runs as N
+    # round-robin passes, per-query wall is the min across passes and the
+    # raw trials ride in the JSON tail — attributes run-to-run deltas to
+    # plan changes instead of shared-host neighbor noise (the
+    # BENCH_SCALING methodology, adopted for the headline suite per the
+    # round-3 verdict).
+    n_trials = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2")))
+    trials: dict[str, list[float]] = {n: [] for n in HEADLINE if n in qs}
+    for _ in range(n_trials):
+        for name in trials:
+            t0 = time.time()
+            try:
+                _force(qs[name](spark, SF_DIR))
+                trials[name].append(round(time.time() - t0, 3))
+            except Exception as e:  # a broken query shouldn't kill the bench
+                trials[name].append(-1.0)
+                print(f"bench: {name} failed: {e}", file=sys.stderr)
     times: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in qs:
-            continue
-        t0 = time.time()
-        try:
-            _force(qs[name](spark, SF_DIR))
-            times[name] = round(time.time() - t0, 3)
-        except Exception as e:  # a broken query shouldn't kill the bench
-            times[name] = -1.0
-            print(f"bench: {name} failed: {e}", file=sys.stderr)
+    for name, ts in trials.items():
+        ok = [t for t in ts if t >= 0]
+        times[name] = min(ok) if ok else -1.0
 
     # --- index-build throughput (docs/sec), full compressed pipeline ---
     from pyspark.sql import functions as F
@@ -320,6 +330,8 @@ def main() -> None:
                 if mm_sec > 0
                 else None,
                 "cpus": CPUS,
+                "bench_trials": n_trials,
+                "trials": trials,
             }
         )
     )

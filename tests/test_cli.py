@@ -142,6 +142,117 @@ def test_http_prf_route(spark, http_index):
         httpd.shutdown()
 
 
+def test_http_ads_click_roundtrip(spark, http_index, tmp_path):
+    """/ads/* routes (QueryHandler.java:297-408): create -> bid ->
+    auction -> click -> CTR fold.  The live serve-side CTR state must be
+    exactly reproducible by the batch ctr_fold replay over the
+    impressions sidecar — the serve path and the batch oracle are the
+    same machine."""
+    import urllib.error
+    from urllib.request import urlopen
+
+    from websearchengine_spark.ads_serving import AdsState
+    from websearchengine_spark.operators import ads as A
+    from websearchengine_spark.serving import IndexServer, serve
+
+    ads_dir = str(tmp_path / "ads_state")
+    state = AdsState(spark, ads_dir)
+    srv = IndexServer(spark, http_index, preload_stats=True)
+    httpd = serve(srv, port=0, background=True, ads_state=state)
+    try:
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        # /ads/create appends to the TSV corpus
+        body = urlopen(
+            f"{base}/ads/create?companyName=acme&advertisingName=1"
+            "&title=data+platform&description=data+data+widget"
+        ).read().decode()
+        assert body == "created\tacme_1"
+        with open(os.path.join(ads_dir, "advertisement.tsv")) as f:
+            assert f.read().splitlines()[-1] == \
+                "acme_1\tdata platform\tdata data widget"
+        # /ads/bid initializes CTR at the 0.1 prior (no acme history yet)
+        body = urlopen(
+            f"{base}/ads/bid?word=data&companyName=acme&advertisingName=1"
+            "&price=2.5"
+        ).read().decode()
+        assert body == "bid\tacme_1"
+        assert state.ctr["data"]["acme_1"] == {
+            "ctr": 0.1, "view": False, "click": False,
+        }
+        # auction: the freshly-created ad wins its own bid word
+        body = urlopen(f"{base}/ads/search?query=data&num=3").read().decode()
+        lines = [l for l in body.splitlines() if l]
+        sid = lines[0].split("\t")[1]
+        served = [l.split("\t") for l in lines[1:]]
+        assert [r[0] for r in served] == ["acme_1"]
+        assert served[0][1] == "data platform" and float(served[0][2]) > 0
+        assert state.ctr["data"]["acme_1"]["view"] is True
+        # click callback (reference CGI names incl. the compamyID typo)
+        body = urlopen(
+            f"{base}/search/ads?sessionID={sid}&compamyID=acme_1&query=data"
+        ).read().decode()
+        assert body == "clicked"
+        # next query folds the clicked impression: 0.1 + 0.1/10
+        urlopen(f"{base}/ads/search?query=data").read()
+        assert state.ctr["data"]["acme_1"]["ctr"] == pytest.approx(0.11)
+        # ...and marked a second view; fold it un-clicked: 0.11 - 0.011
+        urlopen(f"{base}/ads/search?query=data").read()
+        assert state.ctr["data"]["acme_1"]["ctr"] == pytest.approx(0.099)
+        # the batch ctr_fold replay over the impressions sidecar
+        # reproduces the live state exactly
+        imps = spark.read.json(
+            os.path.join(ads_dir, "impressions.jsonl"),
+            schema="ts long, event_id long, keyword string, "
+                   "ad_key string, clicked boolean",
+        )
+        folded = {
+            (r.keyword, r.ad_key): r.ctr for r in A.ctr_fold(imps).collect()
+        }
+        assert folded[("data", "acme_1")] == pytest.approx(
+            state.ctr["data"]["acme_1"]["ctr"])
+        # a second acme bid now seeds from the company-mean CTR, not 0.1
+        urlopen(
+            f"{base}/ads/bid?word=widget&companyName=acme"
+            "&advertisingName=2&price=1.0"
+        ).read()
+        assert state.ctr["widget"]["acme_2"]["ctr"] == pytest.approx(0.099)
+        # session log recorded the query, the served ads, and the click
+        with open(os.path.join(ads_dir, "sessions.jsonl")) as f:
+            sessions = [json.loads(l) for l in f if l.strip()]
+        assert sessions[0]["ads"] == ["acme_1"]
+        assert any(s.get("click") == "acme_1" for s in sessions)
+        # ads routes 404 when no ads_state is wired (default server)
+        plain = serve(srv, port=0, background=True)
+        try:
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urlopen(
+                    "http://127.0.0.1:%d/ads/search?query=data"
+                    % plain.server_address[1])
+            assert ei.value.code == 404
+        finally:
+            plain.shutdown()
+    finally:
+        httpd.shutdown()
+        srv.close()
+
+
+def test_ads_state_resumes_from_disk(spark, tmp_path):
+    """AdsState is file-backed: a new instance over the same dir sees the
+    bids/CTR a previous serve deployment wrote (the reference persists
+    ad.json/ctr.json across restarts, QueryHandler.java:197-263)."""
+    from websearchengine_spark.ads_serving import AdsState
+
+    ads_dir = str(tmp_path / "ads_resume")
+    s1 = AdsState(spark, ads_dir)
+    s1.create_ad("zeta", "9", "widget sale", "widget widget")
+    s1.place_bid("widget", "zeta", "9", 4.0)
+    s2 = AdsState(spark, ads_dir)
+    assert s2.bids["widget"]["zeta"] == ["9", 4.0]
+    assert s2.ctr["widget"]["zeta_9"]["ctr"] == 0.1
+    _, results = s2.search("widget")
+    assert [k for k, _, _ in results] == ["zeta_9"]
+
+
 def test_index_server_close_restores_shuffle_conf(spark, http_index):
     """The resident serve pin is scoped: close() must restore the
     session's previous shuffle-partition width."""

@@ -217,17 +217,26 @@ class IndexServer:
 _RANKERS = {"conjunctive", "disjunctive"}
 
 
-def make_handler(server: IndexServer):
+def make_handler(server: IndexServer, ads_state=None):
     """BaseHTTPRequestHandler bound to one IndexServer — CGI-arg semantics
     per QueryHandler.java:85-128: unknown/invalid values are ignored, the
-    engine never fails on user input."""
+    engine never fails on user input.  With an ``ads_state``
+    (ads_serving.AdsState) the reference's ads routes are served too:
+    ``/ads/create``, ``/ads/bid``, ``/ads/search`` and the click
+    callback ``/search/ads`` (QueryHandler.java:297-408; the reference's
+    CGI arg names are kept, including the ``compamyID`` typo)."""
+
+    _ads_routes = ("/ads/create", "/ads/bid", "/ads/search", "/search/ads")
 
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):  # noqa: N802 (stdlib API name)
             u = urlparse(self.path)
-            if u.path not in ("/search", "/prf"):
+            known = ("/search", "/prf") + (
+                _ads_routes if ads_state is not None else ()
+            )
+            if u.path not in known:
                 self._respond(
-                    404, "text/plain", "not found: use /search or /prf"
+                    404, "text/plain", f"not found: use {', '.join(known)}"
                 )
                 return
             params = parse_qs(u.query)
@@ -236,6 +245,12 @@ def make_handler(server: IndexServer):
                 return params.get(key, [default])[0]
 
             q = first("query")
+            if u.path in _ads_routes:
+                try:
+                    self._handle_ads(u.path, first)
+                except Exception as e:  # never fail on user input
+                    self._respond(500, "text/plain", f"ads failed: {e}")
+                return
             if u.path == "/prf":
                 # reference /prf: numdocs/numterms CGI args, lines of
                 # term \t prob sorted by prob desc
@@ -286,6 +301,40 @@ def make_handler(server: IndexServer):
                 )
                 self._respond(200, "text/plain", body)
 
+        def _handle_ads(self, path: str, first) -> None:
+            if path == "/ads/create":
+                key = ads_state.create_ad(
+                    first("companyName"), first("advertisingName"),
+                    first("title"), first("description"),
+                )
+                self._respond(200, "text/plain", f"created\t{key}")
+            elif path == "/ads/bid":
+                try:
+                    price = float(first("price", "0"))
+                except ValueError:
+                    price = 0.0  # invalid price ignored, bid at 0
+                key = ads_state.place_bid(
+                    first("word"), first("companyName"),
+                    first("advertisingName"), price,
+                )
+                self._respond(200, "text/plain", f"bid\t{key}")
+            elif path == "/ads/search":
+                try:
+                    num = int(first("num", "3"))
+                except ValueError:
+                    num = 3
+                sid, results = ads_state.search(first("query"), num)
+                body = f"session\t{sid}\n" + "".join(
+                    f"{key}\t{title}\t{score:.6f}\n"
+                    for key, title, score in results
+                )
+                self._respond(200, "text/plain", body)
+            else:  # /search/ads — the click callback
+                ads_state.click(
+                    first("sessionID"), first("compamyID"), first("query")
+                )
+                self._respond(200, "text/plain", "clicked")
+
         def _respond(self, code: int, ctype: str, body: str) -> None:
             data = body.encode("utf-8")
             self.send_response(code)
@@ -301,14 +350,19 @@ def make_handler(server: IndexServer):
 
 
 def serve(
-    server: IndexServer, port: int = 25805, background: bool = False
+    server: IndexServer,
+    port: int = 25805,
+    background: bool = False,
+    ads_state=None,
 ) -> ThreadingHTTPServer:
     """Start the HTTP front end (reference default port 25805,
     SearchEngine.java options).  ``port=0`` binds an ephemeral port;
     ``background=True`` serves from a daemon thread (tests) and returns
     the live ``ThreadingHTTPServer`` (its ``.server_address`` carries the
-    bound port)."""
-    httpd = ThreadingHTTPServer(("127.0.0.1", port), make_handler(server))
+    bound port); ``ads_state`` additionally enables the ads routes."""
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", port), make_handler(server, ads_state)
+    )
     if background:
         t = threading.Thread(target=httpd.serve_forever, daemon=True)
         t.start()
