@@ -124,9 +124,13 @@ def test_png_unsupported_variants_raise():
                 + _s.pack(">I", _z.crc32(ctype + body) & 0xFFFFFFFF))
 
     sig = b"\x89PNG\r\n\x1a\n"
-    # unsupported bit depth (1/2/4-bit packed samples)
-    hdr4 = chunk(b"IHDR", _s.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0))
-    with pytest.raises(NotImplementedError):
+    # illegal bit depth
+    hdr3 = chunk(b"IHDR", _s.pack(">IIBBBBB", 2, 2, 3, 0, 0, 0, 0))
+    with pytest.raises(ValueError):
+        M.decode_image(sig + hdr3 + chunk(b"IDAT", b"x") + chunk(b"IEND", b""))
+    # packed depth is gray/palette-only: 4-bit RGB is illegal
+    hdr4 = chunk(b"IHDR", _s.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0))
+    with pytest.raises(ValueError):
         M.decode_image(sig + hdr4 + chunk(b"IDAT", b"x") + chunk(b"IEND", b""))
     # invalid interlace method
     hdr_i = chunk(b"IHDR", _s.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 7))
@@ -193,6 +197,48 @@ def test_png_palette_decode():
          [[0, 0, 255], [0, 0, 255], [255, 0, 0]]], dtype=np.uint8
     )
     assert np.array_equal(got, expect)
+
+
+def test_png_packed_gray_roundtrip():
+    """1/2/4-bit packed gray: MSB-first samples, byte-padded scanlines,
+    filtering on the packed bytes with bpp=1.  Decode must equal the
+    sample value expanded to the full 8-bit range (255/(2^d-1) steps),
+    across sizes that exercise pad bits and every filter type, plain and
+    Adam7."""
+    rng = np.random.default_rng(23)
+    for depth in (1, 2, 4):
+        scale = 255 // ((1 << depth) - 1)
+        for h, w in [(1, 1), (2, 3), (5, 7), (8, 8), (9, 17)]:
+            vals = rng.integers(0, 1 << depth, size=(h, w), dtype=np.uint8)
+            for interlace in (False, True):
+                blob = M.encode_png(
+                    vals, filters=[0, 1, 2, 3, 4], color=0, depth=depth,
+                    interlace=interlace,
+                )
+                got = (M.decode_image(blob) * 255.0).round().astype(np.uint8)
+                assert got.shape == (h, w, 3), (depth, h, w, interlace)
+                assert np.array_equal(got[..., 0], vals * scale), (
+                    depth, h, w, interlace)
+
+
+def test_png_packed_palette_roundtrip():
+    """1/2/4-bit packed palette indices map through PLTE; 8-bit palette
+    through the encoder path proves PLTE emission against the existing
+    hand-built decode test."""
+    rng = np.random.default_rng(29)
+    for depth in (1, 2, 4, 8):
+        n_colors = 1 << min(depth, 4)
+        palette = rng.integers(0, 256, size=(n_colors, 3), dtype=np.uint8)
+        for h, w in [(1, 2), (3, 5), (6, 11)]:
+            idx = rng.integers(0, n_colors, size=(h, w), dtype=np.uint8)
+            for interlace in (False, True):
+                blob = M.encode_png(
+                    idx, filters=[2, 0, 1], color=3, depth=depth,
+                    palette=palette, interlace=interlace,
+                )
+                got = (M.decode_image(blob) * 255.0).round().astype(np.uint8)
+                assert np.array_equal(got, palette[idx]), (
+                    depth, h, w, interlace)
 
 
 def test_gif_roundtrip_random_palette():

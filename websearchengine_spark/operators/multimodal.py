@@ -281,12 +281,14 @@ _ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
 
 def _decode_png(blob: bytes) -> np.ndarray:
     """Real PNG decode with stdlib ``zlib`` + numpy unfiltering — no codec
-    library.  Supports the web-common subset: 8-bit depth, color types 0
-    (gray) / 2 (RGB) / 3 (palette) / 4 (gray+alpha) / 6 (RGBA), all five
-    scanline filters (None/Sub/Up/Average/Paeth), and BOTH interlace
-    modes — Adam7 passes are seven independently-filtered sub-images
-    scattered on the (x0, y0, dx, dy) grid.  Alpha is dropped (features
-    pool over color); 16-bit raises loudly rather than approximate."""
+    library.  Supports every legal depth/color combination: 1/2/4-bit
+    packed (gray + palette, MSB-first, byte-padded scanlines), 8-bit,
+    16-bit (big-endian samples), color types 0 (gray) / 2 (RGB) / 3
+    (palette) / 4 (gray+alpha) / 6 (RGBA), all five scanline filters
+    (None/Sub/Up/Average/Paeth), and BOTH interlace modes — Adam7 passes
+    are seven independently-filtered sub-images scattered on the
+    (x0, y0, dx, dy) grid.  Alpha is dropped (features pool over
+    color)."""
     import zlib
 
     i, hdr, plte, idat = 8, None, None, []
@@ -306,8 +308,10 @@ def _decode_png(blob: bytes) -> np.ndarray:
     if hdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT chunk")
     w, h, depth, color, _comp, _filt, interlace = hdr
-    if depth not in (8, 16):
-        raise NotImplementedError(f"{depth}-bit PNG not supported (8/16)")
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"invalid PNG bit depth {depth}")
+    if depth < 8 and color not in (0, 3):
+        raise ValueError(f"{depth}-bit PNG invalid for color type {color}")
     if depth == 16 and color == 3:
         raise ValueError("palette PNG cannot be 16-bit")
     if interlace not in (0, 1):
@@ -317,35 +321,50 @@ def _decode_png(blob: bytes) -> np.ndarray:
     if color == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
     ch = _PNG_CHANNELS[color]
-    nb = depth // 8  # PNG filters operate on BYTES; bpp = ch * nb
+    nb = depth // 8  # PNG filters operate on BYTES; bpp = max(1, ch * nb)
     raw = zlib.decompress(b"".join(idat))
+
+    def row_stride(pix_w: int) -> int:
+        # packed depths (1/2/4, gray or palette only, ch == 1) pad each
+        # scanline to a byte boundary; filtering still runs on the
+        # packed BYTES with bpp = 1 (PNG spec §9)
+        return (pix_w * ch * depth + 7) // 8
+
+    def samples_of(rows: np.ndarray, ph: int, pw: int) -> np.ndarray:
+        if depth < 8:
+            return _png_unpack(rows, ph, pw, depth)
+        return _png_samples(rows, ph, pw, ch, nb)
+
+    fbpp = max(1, ch * nb)
     if interlace == 1:  # Adam7: seven independently-filtered sub-images
-        px = np.zeros((h, w, ch), np.uint8 if nb == 1 else np.uint16)
+        px = np.zeros((h, w, ch), np.uint8 if depth <= 8 else np.uint16)
         off = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            pstride = pw * ch * nb
+            pstride = row_stride(pw)
             need = ph * (pstride + 1)
             if len(raw) < off + need:
                 raise ValueError("truncated PNG Adam7 pass data")
             sub = _png_unfilter(
-                np.frombuffer(raw, np.uint8, need, off), ph, pstride, ch * nb
+                np.frombuffer(raw, np.uint8, need, off), ph, pstride, fbpp
             )
             off += need
-            px[y0::dy, x0::dx] = _png_samples(sub, ph, pw, ch, nb)
+            px[y0::dy, x0::dx] = samples_of(sub, ph, pw)
     else:
-        stride = w * ch * nb
+        stride = row_stride(w)
         if len(raw) < h * (stride + 1):
             raise ValueError("truncated PNG scanline data")
         samples = _png_unfilter(
-            np.frombuffer(raw, dtype=np.uint8), h, stride, ch * nb
+            np.frombuffer(raw, dtype=np.uint8), h, stride, fbpp
         )
-        px = _png_samples(samples, h, w, ch, nb)
+        px = samples_of(samples, h, w)
     if color == 3:
         px = plte[px[..., 0]]
+    elif depth < 8:  # packed gray: expand sample to full 8-bit range
+        px = (px * (255 // ((1 << depth) - 1))).astype(np.uint8)
     elif ch == 2:  # gray+alpha -> gray
         px = px[..., :1]
     elif ch == 4:  # RGBA -> RGB
@@ -369,6 +388,22 @@ def _png_samples(
         .astype(np.uint16)
         .reshape(h, w, ch)
     )
+
+
+def _png_unpack(
+    rows: np.ndarray, h: int, w: int, depth: int
+) -> np.ndarray:
+    """Packed 1/2/4-bit scanline bytes -> (h, w, 1) raw sample values.
+    Samples pack MSB-first within each byte; scanlines are byte-padded,
+    so per-row unpacking drops the pad bits past w samples."""
+    per_byte = 8 // depth
+    stride = rows.size // h
+    bits = np.unpackbits(rows.reshape(h, stride), axis=1)
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    vals = (
+        bits.reshape(h, stride * per_byte, depth).astype(np.uint8) * weights
+    ).sum(axis=2)
+    return vals[:, :w].astype(np.uint8).reshape(h, w, 1)
 
 
 def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
@@ -913,27 +948,42 @@ def encode_png(
     color: int = 2,
     interlace: bool = False,
     depth: int = 8,
+    palette: np.ndarray | None = None,
 ) -> bytes:
-    """pixels -> 8/16-bit PNG (independent writer used by tests to prove
-    the decoder against known pixels).  ``filters`` picks the
-    per-scanline filter type (0-4, default all 0, cycled) so tests
-    exercise every inverse filter; the encoder applies the FORWARD filter
-    transform — the decoder must invert it exactly.  ``color``: 2 = RGB
-    (HxWx3 input), 0 = gray (HxW), 6 = RGBA (HxWx4).  ``interlace``
-    writes the Adam7 layout (seven independently-filtered sub-images);
-    ``depth=16`` takes uint16 input (big-endian samples on the wire,
-    filters still byte-wise per the spec)."""
+    """pixels -> PNG (independent writer used by tests to prove the
+    decoder against known pixels).  ``filters`` picks the per-scanline
+    filter type (0-4, default all 0, cycled) so tests exercise every
+    inverse filter; the encoder applies the FORWARD filter transform —
+    the decoder must invert it exactly.  ``color``: 2 = RGB (HxWx3
+    input), 0 = gray (HxW), 3 = palette indices (HxW + ``palette`` Nx3),
+    6 = RGBA (HxWx4).  ``interlace`` writes the Adam7 layout (seven
+    independently-filtered sub-images); ``depth=16`` takes uint16 input
+    (big-endian samples on the wire, filters still byte-wise per the
+    spec); ``depth`` 1/2/4 (gray/palette only) packs raw sample values
+    MSB-first with byte-padded scanlines."""
     import zlib
 
-    ch = {0: 1, 2: 3, 6: 4}[color]
+    ch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
     if px.ndim == 2:
         px = px[..., None]
     h, w = px.shape[:2]
-    assert px.shape[2] == ch and depth in (8, 16)
+    assert px.shape[2] == ch
+    assert depth in {0: (1, 2, 4, 8, 16), 2: (8, 16),
+                     3: (1, 2, 4, 8), 6: (8, 16)}[color]
+    assert (palette is not None) == (color == 3)
     filters = filters or [0]
     nb = depth // 8
 
     def rows_of(pxa: np.ndarray) -> np.ndarray:
+        hh, ww = pxa.shape[:2]
+        if depth < 8:
+            # pack depth-bit samples MSB-first; packbits zero-pads each
+            # scanline to a byte boundary (the spec's padding)
+            bits = (
+                pxa.reshape(hh, ww)[:, :, None]
+                >> np.arange(depth - 1, -1, -1)
+            ) & 1
+            return np.packbits(bits.reshape(hh, -1).astype(np.uint8), axis=1)
         if nb == 1:
             return pxa
         # serialize 16-bit samples big-endian, then filter byte-wise
@@ -941,15 +991,16 @@ def encode_png(
             pxa.astype(">u2").reshape(pxa.shape[0], -1).view(np.uint8)
         )
 
+    fbpp = max(1, ch * nb)
     if interlace:
         lines = bytearray()
         for x0, y0, dx, dy in _ADAM7:
             sub = px[y0::dy, x0::dx]
             if sub.shape[0] and sub.shape[1]:
-                lines += _png_filter_rows(rows_of(sub), filters, ch * nb)
+                lines += _png_filter_rows(rows_of(sub), filters, fbpp)
         lines = bytes(lines)
     else:
-        lines = _png_filter_rows(rows_of(px), filters, ch * nb)
+        lines = _png_filter_rows(rows_of(px), filters, fbpp)
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         return (
@@ -960,9 +1011,15 @@ def encode_png(
         )
 
     ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, int(interlace))
+    plte = (
+        chunk(b"PLTE", np.asarray(palette, np.uint8).tobytes())
+        if color == 3
+        else b""
+    )
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
+        + plte
         + chunk(b"IDAT", zlib.compress(lines))
         + chunk(b"IEND", b"")
     )
@@ -1085,9 +1142,10 @@ def encode_y4m(frames: list[np.ndarray], w: int, h: int) -> bytes:
 def synth_media_df(spark, n: int = 24) -> DataFrame:
     """Deterministic media table in REAL formats (BMP + PNG + JPEG /
     PCM WAV / y4m) — no external data, but every blob round-trips a
-    genuine decoder.  Images rotate BMP / PNG / baseline JPEG (PNG rows
-    cycle the scanline filter), so the Spark feature path exercises real
-    DEFLATE inflation, unfiltering, and Huffman+IDCT decode."""
+    genuine decoder.  Images rotate BMP / PNG / baseline JPEG / 4-bit
+    packed-palette PNG (PNG rows cycle the scanline filter), so the Spark
+    feature path exercises real DEFLATE inflation, unfiltering,
+    bit-unpacking, and Huffman+IDCT decode."""
     from websearchengine_spark.operators import jpeg as _jpeg
 
     rows = []
@@ -1099,7 +1157,7 @@ def synth_media_df(spark, n: int = 24) -> DataFrame:
         if kind == "image":
             w, h = 8 + i % 5, 6 + i % 4
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            variant = (i // 3) % 3
+            variant = (i // 3) % 4
             if variant == 1:
                 blob = encode_png(px, filters=[(i + y) % 5 for y in range(h)])
                 rows.append((i, kind, "image/png", blob, w, h, None))
@@ -1107,6 +1165,15 @@ def synth_media_df(spark, n: int = 24) -> DataFrame:
             if variant == 2:
                 blob = _jpeg.encode_jpeg(px)
                 rows.append((i, kind, "image/jpeg", blob, w, h, None))
+                continue
+            if variant == 3:
+                palette = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+                idx = rng.integers(0, 16, size=(h, w), dtype=np.uint8)
+                blob = encode_png(
+                    idx, filters=[(i + y) % 5 for y in range(h)],
+                    color=3, depth=4, palette=palette,
+                )
+                rows.append((i, kind, "image/png", blob, w, h, None))
                 continue
             blob = encode_bmp(px)
             rows.append((i, kind, mimes[kind], blob, w, h, None))
