@@ -1,10 +1,10 @@
-"""Multimodal: REAL decoders (BMP / netpbm / PNG / GIF / baseline JPEG /
-PCM WAV / YUV4MPEG2) proved against independently-written encoders, a
-header-only probe for every container (incl. MP4 box walk and MP3 frame
-walk), honest NotImplementedError for payloads the container can't parse
-(MP3/MP4 decode, packed sub-8-bit PNG, successive-approximation JPEG),
-plus the
-Spark plumbing (schema, fan-out, determinism)."""
+"""Multimodal: REAL decoders (BMP / netpbm / PNG incl. packed sub-8-bit
+/ GIF / baseline + full-progressive JPEG / PCM WAV / YUV4MPEG2) proved
+against independently-written encoders, a header-only probe for every
+container (incl. MP4 box walk and MP3 frame walk), honest
+NotImplementedError for payloads the container can't parse (MP3/MP4
+decode, arithmetic/12-bit JPEG), plus the Spark plumbing (schema,
+fan-out, determinism)."""
 
 from __future__ import annotations
 
@@ -432,26 +432,88 @@ def test_jpeg_progressive_equals_baseline():
     assert np.array_equal(got[..., 0], flat)
 
 
+def test_jpeg_successive_approximation_equals_baseline():
+    """Successive approximation (Ah/Al != 0) splits each coefficient
+    into bit planes; once every refinement scan lands the coefficients
+    are bit-identical to the single-scan stream, so decode must equal
+    the baseline decode exactly — gray and RGB, multiple Al depths,
+    multi-band splits, lossy tables, and a sparse image that drives
+    EOBn runs with buffered correction bits through refinement."""
+    from websearchengine_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(37)
+    g = rng.integers(0, 256, size=(19, 27), dtype=np.uint8)
+    base = J.decode_jpeg(J.encode_jpeg(g))
+    for approx in (1, 2, 3):
+        got = J.decode_jpeg(J.encode_jpeg_progressive(g, approx=approx))
+        assert np.array_equal(base, got), approx
+    px = rng.integers(0, 256, size=(17, 14, 3), dtype=np.uint8)
+    q = np.full((8, 8), 12, int)
+    base = J.decode_jpeg(J.encode_jpeg(px, qtable=q))
+    got = J.decode_jpeg(
+        J.encode_jpeg_progressive(
+            px, qtable=q, approx=2, bands=((1, 2), (3, 20), (21, 63))
+        )
+    )
+    assert np.array_equal(base, got)
+    # sparse image: nearly-all-zero bands -> refinement scans are EOBn
+    # runs whose correction bits ride behind the EOBn symbol
+    sp = np.full((64, 64), 128, dtype=np.uint8)
+    sp[5, 7], sp[40, 33], sp[63, 63] = 250, 3, 200
+    assert np.array_equal(
+        J.decode_jpeg(J.encode_jpeg(sp)),
+        J.decode_jpeg(J.encode_jpeg_progressive(sp, approx=2)),
+    )
+
+
+def test_jpeg_progressive_subsampled_equals_baseline():
+    """Progressive + chroma subsampling: interleaved DC scans cover the
+    MCU-padded block grid while AC scans cover each component's own
+    non-interleaved grid — decode must equal the baseline subsampled
+    decode exactly, with and without successive approximation."""
+    from websearchengine_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(38)
+    for mode in ("420", "422"):
+        for hh, ww in [(16, 16), (17, 14), (8, 9), (24, 33)]:
+            px = rng.integers(0, 256, size=(hh, ww, 3), dtype=np.uint8)
+            base = J.decode_jpeg(J.encode_jpeg(px, subsample=mode))
+            prog = J.decode_jpeg(
+                J.encode_jpeg_progressive(px, subsample=mode)
+            )
+            assert np.array_equal(base, prog), (mode, hh, ww)
+            prog_sa = J.decode_jpeg(
+                J.encode_jpeg_progressive(px, subsample=mode, approx=2)
+            )
+            assert np.array_equal(base, prog_sa), (mode, hh, ww)
+
+
 def test_jpeg_unsupported_variants_raise():
     from websearchengine_spark.operators import jpeg as J
 
     rng = np.random.default_rng(35)
     px = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
-    # successive-approximation progressive (Ah != 0) rejected loudly:
-    # patch the Ah/Al byte of the first AC scan's SOS header
+    import struct as _s
+
+    # DRI inside a progressive frame rejected loudly: splice a DRI
+    # segment before the first SOS of a progressive stream
     blob = bytearray(J.encode_jpeg_progressive(px))
     first = blob.index(b"\xff\xda")
-    second = blob.index(b"\xff\xda", first + 2)
-    blob[second + 9] = 0x10  # Ah=1
+    blob[first:first] = b"\xff\xdd" + _s.pack(">HH", 4, 2)
     with pytest.raises(NotImplementedError):
         J.decode_jpeg(bytes(blob))
-    # progressive + chroma subsampling rejected at SOF parse
-    rgb = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
-    blob2 = bytearray(J.encode_jpeg_progressive(rgb))
+    # arithmetic-coded progressive (SOF10) rejected at SOF parse
+    blob2 = bytearray(J.encode_jpeg_progressive(px))
     at = blob2.index(b"\xff\xc2")
-    blob2[at + 11] = 0x22  # first component sampling 2x2
+    blob2[at + 1] = 0xCA
     with pytest.raises(NotImplementedError):
         J.decode_jpeg(bytes(blob2))
+    # 12-bit precision rejected
+    blob3 = bytearray(J.encode_jpeg(px))
+    at = blob3.index(b"\xff\xc0")
+    blob3[at + 4] = 12  # SOF precision byte
+    with pytest.raises(NotImplementedError):
+        J.decode_jpeg(bytes(blob3))
     with pytest.raises(ValueError):
         J.decode_jpeg(b"\x89PNG not a jpeg")
 

@@ -5,13 +5,14 @@ Decode is REAL for the uncompressed container formats a numpy-only
 environment can parse bit-exactly from their public specs:
 
 - images: BMP (24-bit BI_RGB, bottom-up, 4-byte row padding), netpbm
-  P6/P5 (binary PPM/PGM), PNG (8/16-bit gray/RGB/palette/RGBA,
-  plain AND Adam7-interlaced — DEFLATE via stdlib ``zlib`` + numpy
-  unfiltering of all five scanline filters), GIF 87a/89a (hand-rolled LZW decompressor,
-  variable code widths, interlace), and JPEG — baseline
-  AND spectral-selection progressive (operators/jpeg.py: Huffman entropy
-  decode from arbitrary DHT tables, dequant, IDCT, 4:2:0/4:2:2/4:4:4,
-  restart markers, SOF2 multi-scan with EOBn end-of-band runs) — no
+  P6/P5 (binary PPM/PGM), PNG (1/2/4-bit packed, 8/16-bit,
+  gray/RGB/palette/RGBA, plain AND Adam7-interlaced — DEFLATE via stdlib
+  ``zlib`` + numpy unfiltering of all five scanline filters), GIF
+  87a/89a (hand-rolled LZW decompressor, variable code widths,
+  interlace), and JPEG — baseline AND full progressive
+  (operators/jpeg.py: Huffman entropy decode from arbitrary DHT tables,
+  dequant, IDCT, 4:2:0/4:2:2/4:4:4, restart markers, SOF2 multi-scan
+  with EOBn runs, spectral selection x successive approximation) — no
   codec library anywhere;
 - audio: RIFF/WAVE PCM (8/16-bit, any channel count);
 - video: YUV4MPEG2 (y4m) — uncompressed frame stream with FRAME markers
@@ -19,8 +20,8 @@ environment can parse bit-exactly from their public specs:
 
 Codecs needing real entropy/transform stacks this container cannot verify
 (MP3, MP4/H.264...) raise ``NotImplementedError`` loudly rather than fake
-an answer, as do format variants outside the supported subsets (1/2/4-bit packed
-PNG, successive-approximation/arithmetic/12-bit JPEG).  Resize is a
+an answer, as do format variants outside the supported subsets
+(arithmetic/12-bit/hierarchical JPEG, DRI-in-progressive).  Resize is a
 real nearest-neighbor
 resample (index arithmetic); features are real statistics of decoded
 pixels/samples.
@@ -1163,7 +1164,12 @@ def synth_media_df(spark, n: int = 24) -> DataFrame:
                 rows.append((i, kind, "image/png", blob, w, h, None))
                 continue
             if variant == 2:
-                blob = _jpeg.encode_jpeg(px)
+                if (i // 12) % 2:  # alternate: progressive SA 4:2:0
+                    blob = _jpeg.encode_jpeg_progressive(
+                        px, subsample="420", approx=1
+                    )
+                else:
+                    blob = _jpeg.encode_jpeg(px)
                 rows.append((i, kind, "image/jpeg", blob, w, h, None))
                 continue
             if variant == 3:
