@@ -57,6 +57,9 @@ HEADLINE = [
     "top_terms_prf",
     "ngram_counts",
     "repetition_score",
+    "dedup_clusters",
+    "chunk_dedup",
+    "url_canonical",
 ]
 
 

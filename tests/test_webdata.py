@@ -1,0 +1,196 @@
+"""Web-data pipeline operators: connected-components dedup clusters,
+chunk-level exact dedup, URL canonicalization.
+
+The components tests prove BOTH correctness (labels == an independent
+pure-Python union-find) and the scale property that justifies the
+algorithm choice: alternating large-star/small-star converges in
+O(log n) rounds on a path graph where naive label propagation needs
+O(diameter) rounds.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from websearchengine_spark.operators import corpus_stats, dedup
+
+
+def _uf_components(n_nodes, edges):
+    """Independent oracle: union-find over explicit node list."""
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    labels = {}
+    for x in range(n_nodes):
+        r = find(x)
+        while parent[r] != r:
+            r = parent[r]
+        labels[x] = r
+    return labels
+
+
+def _cc(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "u long, v long")
+    out = dedup.connected_components(df, **kw)
+    return {r.node: r.component for r in out.collect()}
+
+
+def test_cc_path_graph_log_rounds(spark):
+    """A 64-node path (diameter 63): every node lands in component 0,
+    and the star-contraction converges in O(log n) rounds — the reason
+    this algorithm and not naive propagation (63 rounds) runs at
+    web-graph scale."""
+    edges = [(i, i + 1) for i in range(63)]
+    rounds = []
+    got = _cc(spark, edges, rounds_out=rounds)
+    assert got == {i: 0 for i in range(64)}
+    assert rounds[0] <= 10, rounds  # log2(64)=6 + convergence detection
+
+
+def test_cc_multiple_components_and_star(spark):
+    edges = [(5, 3), (3, 9), (20, 21), (40, 41), (41, 42), (40, 42)]
+    got = _cc(spark, edges)
+    assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20,
+                   40: 40, 41: 40, 42: 40}
+    # only nodes appearing in edges are labeled
+    assert 0 not in got
+
+
+def test_cc_matches_union_find_random(spark):
+    import random
+
+    rng = random.Random(7)
+    n = 200
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    got = _cc(spark, edges)
+    want = _uf_components(n, edges)
+    touched = {x for e in edges for x in e}
+    assert got == {x: want[x] for x in touched}
+
+
+def test_cc_empty_and_self_loops(spark):
+    assert _cc(spark, [], ) == {}
+    # self-loops are dropped; a lone self-loop labels nothing
+    assert _cc(spark, [(4, 4)]) == {}
+    assert _cc(spark, [(4, 4), (4, 7)]) == {4: 4, 7: 4}
+
+
+def test_dedup_clusters_transitive_chain(spark):
+    """A~B and B~C near-dup (but A and C farther apart) must land in ONE
+    cluster with min-id canonical; unrelated docs stay singletons."""
+    base = ["w%d" % i for i in range(40)]
+    a = " ".join(base)
+    b = " ".join(base[:38] + ["x1", "x2"])          # ~A
+    c = " ".join(base[:36] + ["x1", "x2", "y1", "y2"])  # ~B, farther from A
+    other = " ".join("z%d" % i for i in range(40))
+    docs = spark.createDataFrame(
+        [(0, a), (1, b), (2, c), (3, other)], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: (r.cluster_id, r.cluster_size, r.is_kept)
+        for r in dedup.dedup_clusters(docs, threshold=0.5).collect()
+    }
+    assert out[0] == (0, 3, True)
+    assert out[1] == (0, 3, False)
+    assert out[2] == (0, 3, False)
+    assert out[3] == (3, 1, True)
+
+
+def test_chunk_dedup_hand_case(spark):
+    shared = " ".join("s%d" % i for i in range(10))  # one exact chunk
+    uniq1 = " ".join("a%d" % i for i in range(10))
+    uniq2 = " ".join("b%d" % i for i in range(7))  # short tail chunk
+    docs = spark.createDataFrame(
+        [
+            (0, shared + " " + uniq1),   # chunks: [shared, uniq1]
+            (1, shared + " " + uniq2),   # chunks: [shared, uniq2(7)]
+            (2, "lonely doc"),           # one short chunk, unique
+            (3, ""),                     # no tokens -> 0 chunks
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_chunks, r.n_dup_chunks, r.dup_chunk_frac)
+        for r in corpus_stats.chunk_dedup(docs, width=10).collect()
+    }
+    assert out[0] == (2, 1, 0.5)
+    assert out[1] == (2, 1, 0.5)
+    assert out[2] == (1, 0, 0.0)
+    assert out[3] == (0, 0, 0.0)
+
+
+def test_chunk_dedup_within_doc_repeat_not_cross_doc(spark):
+    """The same chunk twice in ONE doc is not 'duplicated' — the
+    definition is >= 2 distinct docs."""
+    ch = " ".join("r%d" % i for i in range(10))
+    docs = spark.createDataFrame(
+        [(0, ch + " " + ch)], "doc_id long, text string"
+    )
+    row = corpus_stats.chunk_dedup(docs, width=10).head()
+    assert (row.n_chunks, row.n_dup_chunks) == (2, 0)
+
+
+CANON_CASES = [
+    # case-fold scheme+host, drop default port, sort params, drop utm_*
+    ("HTTP://WWW.Ex.COM:80/a/?utm_source=x&b=2&a=1#f",
+     "http://www.ex.com/a?a=1&b=2"),
+    ("https://Ex.COM:443//a//b/", "https://ex.com/a/b"),
+    # non-default port kept
+    ("http://ex.com:8080/a", "http://ex.com:8080/a"),
+    # empty path -> "/", root slash kept
+    ("http://ex.com", "http://ex.com/"),
+    ("http://ex.com/", "http://ex.com/"),
+    # fragment-only and empty query dropped
+    ("http://ex.com/p#sec", "http://ex.com/p"),
+    ("http://ex.com/p?", "http://ex.com/p"),
+    ("http://ex.com/p?utm_campaign=x&fbclid=1&gclid=2",
+     "http://ex.com/p"),
+    # param order normalized, values untouched
+    ("http://ex.com/p?z=26&m=13&a=1", "http://ex.com/p?a=1&m=13&z=26"),
+]
+
+
+def test_canonical_url_cases(spark):
+    from websearchengine_spark.functions.urlnorm import canonical_url
+
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(CANON_CASES)],
+        "i long, url string",
+    )
+    got = [
+        r.c
+        for r in df.orderBy("i")
+        .select(canonical_url("url").alias("c"))
+        .collect()
+    ]
+    assert got == [want for _, want in CANON_CASES]
+
+
+def test_url_dedup_groups_and_kept(spark):
+    pages = spark.createDataFrame(
+        [
+            (10, "HTTP://A.com:80/x/?b=2&a=1"),
+            (11, "http://a.com/x?a=1&b=2"),
+            (12, "http://a.com/y"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {
+        r.doc_id: (r.canonical_url, r.n_same_canon, r.is_kept)
+        for r in corpus_stats.url_dedup(pages).collect()
+    }
+    assert out[10] == ("http://a.com/x?a=1&b=2", 2, True)
+    assert out[11] == ("http://a.com/x?a=1&b=2", 2, False)
+    assert out[12] == ("http://a.com/y", 1, True)

@@ -95,6 +95,99 @@ def repetition_scores(docs: DataFrame, n: int = 3) -> DataFrame:
                        score.alias("rep_score"))
 
 
+def chunks_col(width: int) -> F.Column:
+    """array<string> of NON-OVERLAPPING ``width``-token chunks (the last
+    chunk may be short) — map-side slice transform over the token array,
+    no explode until the caller needs rows.  Same empty-doc guard as
+    ``ngrams_col``: ``sequence(0, -1)`` counts DOWN, so the zero-token
+    branch must return an empty array explicitly."""
+    toks = _toks_clean()
+    n = F.size(toks)
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.floor((n - 1) / width).cast("int")),
+        lambda i: F.array_join(F.slice(toks, i * width + 1, width), " "),
+    )
+    return F.when(n > 0, chunks).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def chunk_dedup(docs: DataFrame, width: int = 10) -> DataFrame:
+    """(doc_id, n_chunks, n_dup_chunks, dup_chunk_frac) — chunk-level
+    exact dedup stats: the token stream splits into non-overlapping
+    ``width``-token chunks; a chunk occurrence is duplicated when its
+    text appears in >= 2 DISTINCT docs (the RefinedWeb / CCNet
+    line-dedup analogue for text without line structure; boilerplate —
+    headers, navigation, license blocks — shows up as high
+    ``dup_chunk_frac`` even when whole-doc dedup misses it).
+
+    Scale shape: chunk fingerprints are md5 (cross-engine stable), the
+    cross-corpus count is one key-bounded groupBy with partial
+    aggregation (hot boilerplate chunks combine map-side), and the
+    per-doc rollup joins fingerprint counts back before a second
+    key-bounded groupBy — two shuffles total, both on bounded keys,
+    never a window over the corpus."""
+    ch = docs.select(
+        "doc_id", F.explode(chunks_col(width)).alias("chunk")
+    ).select("doc_id", F.md5(F.col("chunk").cast("binary")).alias("fp"))
+    counts = ch.groupBy("fp").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    per_doc = (
+        ch.join(counts, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_chunks"),
+        )
+    )
+    frac = F.when(
+        F.col("n_chunks") > 0,
+        F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 6),
+    ).otherwise(F.lit(0.0))
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .fillna({"n_chunks": 0, "n_dup_chunks": 0})
+        .select(
+            "doc_id", "n_chunks", "n_dup_chunks",
+            frac.alias("dup_chunk_frac"),
+        )
+    )
+
+
+def url_dedup(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """(doc_id, url, canonical_url, n_same_canon, is_kept) — URL-level
+    dedup, the cheap pass BEFORE any content dedup in a crawl pipeline:
+    the same page crawled under `HTTP://WWW.x.COM:80/a/?b=2&a=1` and
+    `http://www.x.com/a?a=1&b=2` collapses to one canonical key
+    (functions/urlnorm.canonical_url — pure codegen expressions, no
+    UDF).  ``is_kept`` marks the min-doc_id row per canonical URL.
+    One key-bounded groupBy on the canonical key + one join back —
+    at crawl scale the groupBy partial-aggregates the (hot) duplicate
+    keys map-side."""
+    from websearchengine_spark.functions.urlnorm import canonical_url
+
+    base = pages.select(
+        "doc_id",
+        F.col(url_col).alias("url"),
+        canonical_url(url_col).alias("canonical_url"),
+    )
+    sizes = base.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_same_canon"),
+        F.min("doc_id").alias("_canon_doc"),
+    )
+    return base.join(sizes, "canonical_url").select(
+        "doc_id",
+        "url",
+        "canonical_url",
+        "n_same_canon",
+        (F.col("doc_id") == F.col("_canon_doc")).alias("is_kept"),
+    )
+
+
 def contamination_overlap(
     docs: DataFrame, probes: list[str], n: int = 5, isin_max: int = 256
 ) -> DataFrame:

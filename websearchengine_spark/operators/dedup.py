@@ -310,6 +310,150 @@ def simhash(docs: DataFrame, n_bits: int = 16) -> DataFrame:
     return bit_sums.select("doc_id", out.alias("simhash"))
 
 
+def connected_components(
+    edges: DataFrame,
+    max_rounds: int = 25,
+    rounds_out: list | None = None,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges`` —
+    component = the smallest node id reachable (transitive closure).
+
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): each round is two
+    groupBy-min + join passes over the edge relation and the edge set
+    converges to a star forest (every node pointing at its component
+    min) in O(log^2 n) rounds worst case, ~log n observed — NOT the
+    O(diameter) of naive label propagation, which a web-graph chain
+    would turn into thousands of shuffles.  Scale shape: neighborhoods
+    are never materialized as arrays (hot nodes stay inside partial
+    aggregation), nothing reaches the driver except one convergence
+    scalar per round, and each round's edge set is
+    ``localCheckpoint``-ed: iterative plans grow ~4x per round (two
+    joins + unions + distinct over the previous round's tree), so a
+    cache alone leaves the analyzer re-walking an exponentially deep
+    plan — the checkpoint SEVERS lineage, keeping every round's plan
+    one round deep (old round blocks are freed by the context cleaner
+    once the reference drops).  ``rounds_out``: optional list; the
+    round count is appended (test / telemetry hook)."""
+    cu, cv = edges.columns[0], edges.columns[1]
+    cur = (
+        edges.select(
+            F.col(cu).cast("long").alias("u"),
+            F.col(cv).cast("long").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_chk = None
+    rounds = 0
+    for _ in range(max_rounds):
+        rounds += 1
+        # large-star over the undirected view: node u attaches each
+        # strictly-larger neighbor to min(N(u) + {u}); emitted edges keep
+        # the (first > second) invariant
+        eb = cur.union(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = eb.groupBy("u").agg(F.min("v").alias("mn"))
+        ls = (
+            eb.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("u"),
+                F.least(F.col("u"), F.col("mn")).alias("v"),
+            )
+            .distinct()
+        )
+        # small-star over (u > v) edges: all of u's smaller neighbors —
+        # and u itself — attach to min(N(u))
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("mn"))
+        nxt = (
+            ls.join(mins2, "u")
+            .where(F.col("v") != F.col("mn"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .union(mins2.select(F.col("u"), F.col("mn").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # set-identity convergence check: count + order-insensitive hash
+        row = nxt.select(F.xxhash64("u", "v").alias("h")).agg(
+            F.count(F.lit(1)).alias("n"), F.expr("bit_xor(h)").alias("x")
+        ).head()
+        chk = (int(row.n), int(row.x or 0))
+        cur = nxt
+        if chk == prev_chk:
+            break
+        prev_chk = chk
+    if rounds_out is not None:
+        rounds_out.append(rounds)
+    # converged star forest: non-roots point at the component min
+    labels = cur.select(
+        F.col("u").alias("node"), F.col("v").alias("component")
+    )
+    roots = (
+        cur.select(F.col("v").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+    )
+    return (
+        labels.union(roots)
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    max_bucket: int = 64,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size, is_kept) for EVERY doc — the
+    complete near-dup dedup decision: MinHash signatures -> LSH band
+    candidates -> exact k-gram Jaccard verify (>= threshold) ->
+    connected components -> canonical representative = cluster min.
+
+    Pairs alone don't dedup a corpus: transitive chains (A~B, B~C
+    without A~C over the threshold) must collapse into ONE cluster or
+    near-dups survive the keep-filter.  ``is_kept`` marks the canonical
+    doc (min doc_id); ``cluster_size`` feeds downstream sampling /
+    weighting.  Singletons keep their own id via the left join — docs
+    never pass through the component machinery unless they are in a
+    verified pair, so the iterative stage only sees the (tiny) duplicate
+    subgraph, not the corpus."""
+    sig = minhash_signatures(docs)
+    pairs = minhash_candidate_pairs(lsh_bands(sig), max_bucket)
+    verified = ngram_jaccard(docs, pairs, k).where(
+        F.col("jaccard") >= threshold
+    )
+    comp = connected_components(verified.select("doc_a", "doc_b"))
+    base = (
+        docs.select("doc_id")
+        .join(
+            comp.select(F.col("node").alias("doc_id"), "component"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").cast("long").alias("cluster_id"),
+        )
+    )
+    sizes = base.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return base.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_kept"),
+    )
+
+
 def exact_dup_groups(docs: DataFrame) -> DataFrame:
     """(fp, canonical_doc_id, n_docs) — exact dedup over the normalized
     token stream."""

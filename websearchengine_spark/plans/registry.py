@@ -581,6 +581,7 @@ def _full_registry() -> dict[str, tuple[Callable, str | None]]:
         registry_ext,
         registry_rankers,
         registry_ref,
+        registry_webdata,
     )
 
     return {
@@ -589,6 +590,7 @@ def _full_registry() -> dict[str, tuple[Callable, str | None]]:
         **registry_ref.REF_REGISTRY,
         **registry_ads.ADS_REGISTRY,
         **registry_rankers.RANKERS_REGISTRY,
+        **registry_webdata.WEBDATA_REGISTRY,
     }
 
 
