@@ -488,20 +488,57 @@ def test_jpeg_progressive_subsampled_equals_baseline():
             assert np.array_equal(base, prog_sa), (mode, hh, ww)
 
 
+def test_jpeg_progressive_restart_markers_equal_baseline():
+    """DRI inside a progressive frame: every scan byte-aligns to RSTn
+    each N restart units (MCUs in interleaved DC scans, blocks in
+    non-interleaved AC scans), resetting DC predictions and EOB runs.
+    Decode must equal the no-restart decode exactly — gray and RGB,
+    with subsampling and successive approximation, and with an interval
+    small enough that EOB runs are forced to flush at boundaries."""
+    from websearchengine_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(39)
+    g = rng.integers(0, 256, size=(19, 27), dtype=np.uint8)
+    base = J.decode_jpeg(J.encode_jpeg(g))
+    for ri in (1, 2, 5):
+        got = J.decode_jpeg(
+            J.encode_jpeg_progressive(g, restart_interval=ri)
+        )
+        assert np.array_equal(base, got), ri
+    px = rng.integers(0, 256, size=(24, 33, 3), dtype=np.uint8)
+    for mode in (False, "420", "422"):
+        base = J.decode_jpeg(J.encode_jpeg(px, subsample=mode))
+        got = J.decode_jpeg(
+            J.encode_jpeg_progressive(
+                px, subsample=mode, approx=2, restart_interval=2
+            )
+        )
+        assert np.array_equal(base, got), mode
+    # sparse image: EOB runs would span many blocks but must flush at
+    # every restart boundary (decoder resets eobrun at RSTn)
+    sp = np.full((64, 64), 128, dtype=np.uint8)
+    sp[5, 7], sp[40, 33], sp[63, 63] = 250, 3, 200
+    assert np.array_equal(
+        J.decode_jpeg(J.encode_jpeg(sp)),
+        J.decode_jpeg(
+            J.encode_jpeg_progressive(sp, approx=1, restart_interval=3)
+        ),
+    )
+    # a declared DRI with no RSTn in the entropy stream is corrupt ->
+    # loud ValueError, not a wrong image
+    blob = bytearray(J.encode_jpeg_progressive(sp))
+    first = blob.index(b"\xff\xda")
+    blob[first:first] = b"\xff\xdd" + struct.pack(">HH", 4, 2)
+    with pytest.raises(ValueError):
+        J.decode_jpeg(bytes(blob))
+
+
 def test_jpeg_unsupported_variants_raise():
     from websearchengine_spark.operators import jpeg as J
 
     rng = np.random.default_rng(35)
     px = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
-    import struct as _s
 
-    # DRI inside a progressive frame rejected loudly: splice a DRI
-    # segment before the first SOS of a progressive stream
-    blob = bytearray(J.encode_jpeg_progressive(px))
-    first = blob.index(b"\xff\xda")
-    blob[first:first] = b"\xff\xdd" + _s.pack(">HH", 4, 2)
-    with pytest.raises(NotImplementedError):
-        J.decode_jpeg(bytes(blob))
     # arithmetic-coded progressive (SOF10) rejected at SOF parse
     blob2 = bytearray(J.encode_jpeg_progressive(px))
     at = blob2.index(b"\xff\xc2")
