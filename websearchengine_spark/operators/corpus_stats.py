@@ -36,21 +36,38 @@ def _toks_clean() -> F.Column:
     return F.filter(tokens_col(), lambda x: x != F.lit(""))
 
 
+def _bind(expr: F.Column, fn) -> F.Column:
+    """Evaluate ``expr`` ONCE and pass the result to ``fn`` as a lambda
+    variable.  Catalyst does not share common subexpressions across the
+    body of a higher-order-function lambda: an expensive array expression
+    (the regex token split) referenced k times inside a ``transform``
+    lambda is re-evaluated k times PER ELEMENT — measured 25x slowdown on
+    the trigram builder.  ``element_at(transform(array(e), fn), 1)``
+    binds e to a lambda variable, which IS shared; everything stays a
+    pure codegen column expression."""
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
 def ngrams_col(n: int) -> F.Column:
     """array<string> of space-joined word n-grams — map-side transform
     over slice offsets of the token array (no explode-join).  The
     short-doc branch must be explicit: ``sequence(0, -1)`` would count
-    DOWN ([0, -1]), not produce an empty array."""
-    toks = _toks_clean()
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + F.lit(j + 1)) for j in range(n)]
-        ),
-    )
-    return F.when(F.size(toks) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    DOWN ([0, -1]), not produce an empty array.  The token array is
+    bound once (``_bind``) so the regex split is NOT re-run per
+    element_at."""
+
+    def grams_of(toks: F.Column) -> F.Column:
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + F.lit(j + 1)) for j in range(n)]
+            ),
+        )
+        return F.when(F.size(toks) >= n, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return _bind(_toks_clean(), grams_of)
 
 
 def ngram_counts(docs: DataFrame, n: int = 2, k: int = 100) -> DataFrame:
@@ -100,16 +117,20 @@ def chunks_col(width: int) -> F.Column:
     chunk may be short) — map-side slice transform over the token array,
     no explode until the caller needs rows.  Same empty-doc guard as
     ``ngrams_col``: ``sequence(0, -1)`` counts DOWN, so the zero-token
-    branch must return an empty array explicitly."""
-    toks = _toks_clean()
-    n = F.size(toks)
-    chunks = F.transform(
-        F.sequence(F.lit(0), F.floor((n - 1) / width).cast("int")),
-        lambda i: F.array_join(F.slice(toks, i * width + 1, width), " "),
-    )
-    return F.when(n > 0, chunks).otherwise(
-        F.array().cast("array<string>")
-    )
+    branch must return an empty array explicitly; same ``_bind`` guard:
+    the token split evaluates once, not once per slice."""
+
+    def chunks_of(toks: F.Column) -> F.Column:
+        n = F.size(toks)
+        chunks = F.transform(
+            F.sequence(F.lit(0), F.floor((n - 1) / width).cast("int")),
+            lambda i: F.array_join(F.slice(toks, i * width + 1, width), " "),
+        )
+        return F.when(n > 0, chunks).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return _bind(_toks_clean(), chunks_of)
 
 
 def chunk_dedup(docs: DataFrame, width: int = 10) -> DataFrame:
