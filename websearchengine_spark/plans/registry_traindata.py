@@ -18,7 +18,7 @@ import os
 
 from pyspark.sql import functions as F
 
-from websearchengine_spark.operators import similarity
+from websearchengine_spark.operators import pii, similarity
 from websearchengine_spark.plans import registry_ext as RX
 
 # ---------------------------------------------------------------------------
@@ -111,8 +111,60 @@ SELECT a.vec_id, a.cluster, sz.n_cluster,
 FROM a JOIN sz USING (cluster) LEFT JOIN dup d USING (vec_id)"""
 
 
+# ---------------------------------------------------------------------------
+# pii_redact — email / IPv4 / phone scrub
+# ---------------------------------------------------------------------------
+# The fixture text carries no PII, so the gate plants it: a deterministic
+# per-doc suffix (emails, dotted quads, an international phone number, or
+# nothing at all for the no-op branch) appended by ONE expression string
+# run verbatim on both engines.  Redaction itself — pattern matching,
+# placeholder substitution, per-class counts — is implemented
+# independently per engine (Spark regexp_* vs DuckDB regexp_* on RE2).
+
+PII_TEXT_EXPR = """CASE CAST(doc_id % 4 AS INT)
+  WHEN 0 THEN text || ' contact user' || CAST(doc_id % 50 AS STRING)
+           || '@mail' || CAST(doc_id % 3 AS STRING)
+           || '.example.com for details'
+  WHEN 1 THEN text || ' served from ' || CAST(doc_id % 223 + 1 AS STRING)
+           || '.' || CAST(doc_id % 250 AS STRING) || '.0.'
+           || CAST(doc_id % 100 AS STRING) || ' and 10.0.0.'
+           || CAST(doc_id % 256 AS STRING) || ' tonight'
+  WHEN 2 THEN text || ' call +1-555-' || CAST(1000 + doc_id % 9000 AS STRING)
+           || ' or mail ops@example.org.'
+  ELSE text
+END"""
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrub over fixture text + planted per-doc PII suffixes."""
+    docs = RX._docs(spark, sf_dir).selectExpr(
+        "doc_id", f"({PII_TEXT_EXPR}) AS text"
+    )
+    return pii.pii_redact(docs)
+
+
+SQL_PII_REDACT = f"""WITH docs2 AS (
+  SELECT doc_id, ({PII_TEXT_EXPR}) AS text FROM documents
+),
+c AS (
+  SELECT doc_id, text,
+    len(regexp_extract_all(text, '{pii.PII_EMAIL}'))::BIGINT AS n_email,
+    len(regexp_extract_all(text, '{pii.PII_IPV4}'))::BIGINT AS n_ip,
+    len(regexp_extract_all(text, '{pii.PII_PHONE}'))::BIGINT AS n_phone
+  FROM docs2
+)
+SELECT doc_id, n_email, n_ip, n_phone,
+       (n_email + n_ip + n_phone) AS n_pii,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{pii.PII_EMAIL}', '<EMAIL>', 'g'),
+           '{pii.PII_IPV4}', '<IP>', 'g'),
+           '{pii.PII_PHONE}', '<PHONE>', 'g') AS redacted
+FROM c"""
+
+
 # SQL entries may be zero-arg generator callables (resolved lazily by
 # registry.oracle_sql, exactly like ann_ivf_topk's).
 TRAINDATA_REGISTRY = {
     "semantic_dedup": (q_semantic_dedup, _sql_semantic_dedup),
+    "pii_redact": (q_pii_redact, SQL_PII_REDACT),
 }
