@@ -141,3 +141,58 @@ def test_repetition_scores_plan_is_shuffle_free(spark, crafted):
     Exchange (a groupBy formulation would shuffle O(tokens) rows)."""
     plan = CS.repetition_scores(crafted, 3)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_bigram_lm_hand_case(spark):
+    """Add-one bigram LM self-perplexity on a 3-doc corpus, hand math:
+    V=4, C(a b)=3, C(b a)=1, C(b c)=1, C(a)=3, C(b)=2."""
+    import math
+
+    from websearchengine_spark.operators import corpus_stats
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c"), (2, "x")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in corpus_stats.bigram_lm_scores(docs).collect()}
+    p_ab, p_ba, p_bc = 4 / 7, 2 / 6, 2 / 6
+    m0 = (2 * math.log(p_ab) + math.log(p_ba)) / 3
+    m1 = (math.log(p_ab) + math.log(p_bc)) / 2
+    assert out[0].n_bigrams == 3
+    assert abs(out[0].avg_logprob - round(m0, 6)) < 1e-9
+    assert abs(out[0].ppl - round(math.exp(-m0), 4)) < 1e-9
+    assert out[1].n_bigrams == 2
+    assert abs(out[1].ppl - round(math.exp(-m1), 4)) < 1e-9
+    assert (out[2].n_bigrams, out[2].avg_logprob, out[2].ppl) == (0, 0.0, 0.0)
+
+
+def test_bigram_lm_heldout_oov_fallback(spark):
+    """Scoring a doc against a model trained elsewhere: a bigram whose
+    context never occurs in training scores the uniform ln(1/V)."""
+    import math
+
+    from websearchengine_spark.operators import corpus_stats
+
+    train = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c"), (2, "x")],
+        "doc_id long, text string",
+    )
+    score = spark.createDataFrame([(9, "q r")], "doc_id long, text string")
+    r = corpus_stats.bigram_lm_scores(score, train_docs=train).collect()[0]
+    assert r.n_bigrams == 1
+    assert abs(r.avg_logprob - round(math.log(1 / 4), 6)) < 1e-9
+    assert abs(r.ppl - 4.0) < 1e-9
+
+
+def test_bigram_lm_self_scores_repetitive_low(spark):
+    """The filter's point: a repetitive doc is more predictable under
+    the corpus LM than a token-soup doc of the same length."""
+    from websearchengine_spark.operators import corpus_stats
+
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(8)]
+        + [(100, "zebra quark mat the of plasma")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in corpus_stats.bigram_lm_scores(docs).collect()}
+    assert out[0].ppl < out[100].ppl

@@ -357,3 +357,90 @@ def source_mix(docs: DataFrame) -> DataFrame:
         F.sum("n_chars").cast("long").alias("n_chars"),
         F.round(F.avg("n_chars"), 6).alias("avg_chars"),
     )
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    train_docs: DataFrame | None = None,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """CCNet-style LM quality scoring: per-doc perplexity under an
+    add-``alpha``-smoothed bigram language model trained on
+    ``train_docs`` (default: the scored corpus itself — the standard
+    self-perplexity outlier filter; pass a clean reference corpus for
+    CCNet's "score against Wikipedia" variant).
+
+    Model: P(v|u) = (C(u,v) + alpha) / (C(u) + alpha * V), with C from
+    the training corpus, C(u) = sum_v C(u,v), and V = training vocabulary
+    size.  A bigram whose context never occurs in training scores the
+    uniform fallback ln(1/V).  Doc score = mean ln P over its bigrams;
+    ppl = exp(-mean).  Returns (doc_id, n_bigrams, avg_logprob, ppl)
+    for EVERY doc (short docs: 0 bigrams, 0.0 scores).
+
+    Scale shape: bigram generation is the map-side ``ngrams_col``
+    transform; model counts are two key-bounded aggregations (distinct
+    bigrams / distinct contexts — Zipf-bounded, the term_stats shape);
+    V rides along as a broadcast 1-row cross join, never a driver
+    scalar.  The scoring join keys on the bigram string — hot function
+    words skew it, which is exactly the AQE skew-join case (the prob
+    side is small per key: one row), and the per-doc reduce combines
+    map-side.  Rounding: avg_logprob at 6 dp, ppl at 4 dp — the sum of
+    ~1e2 logs carries ~1e-12 float-order noise, far below both grids.
+    """
+    if train_docs is None:
+        train_docs = docs
+    grams_t = train_docs.select(F.explode(ngrams_col(2)).alias("bg"))
+    bgc = grams_t.groupBy("bg").agg(
+        F.count(F.lit(1)).cast("long").alias("c_bg")
+    )
+    ctx = (
+        bgc.groupBy(F.split(F.col("bg"), " ")[0].alias("u"))
+        .agg(F.sum("c_bg").alias("c_u"))
+    )
+    voc = (
+        train_docs.select(F.explode(_toks_clean()).alias("tk"))
+        .agg(F.count_distinct("tk").cast("long").alias("v"))
+    )
+    probs = (
+        bgc.join(ctx, F.split(F.col("bg"), " ")[0] == F.col("u"))
+        .crossJoin(F.broadcast(voc))
+        .select(
+            "bg",
+            F.log(
+                (F.col("c_bg") + F.lit(alpha))
+                / (F.col("c_u") + F.lit(alpha) * F.col("v"))
+            ).alias("logp"),
+        )
+    )
+    grams = docs.select("doc_id", F.explode(ngrams_col(2)).alias("bg"))
+    per = (
+        grams.join(probs, "bg", "left")
+        .crossJoin(F.broadcast(voc))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("logp"), -F.log(F.col("v"))).alias("logp"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("logp").alias("s"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias(
+                "n_bigrams"
+            ),
+            F.when(
+                F.col("n_bigrams").isNotNull(),
+                F.round(F.col("s") / F.col("n_bigrams"), 6),
+            ).otherwise(F.lit(0.0)).alias("avg_logprob"),
+            F.when(
+                F.col("n_bigrams").isNotNull(),
+                F.round(F.exp(-F.col("s") / F.col("n_bigrams")), 4),
+            ).otherwise(F.lit(0.0)).alias("ppl"),
+        )
+    )

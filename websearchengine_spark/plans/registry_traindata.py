@@ -18,7 +18,7 @@ import os
 
 from pyspark.sql import functions as F
 
-from websearchengine_spark.operators import pii, similarity
+from websearchengine_spark.operators import corpus_stats, pii, similarity
 from websearchengine_spark.plans import registry_ext as RX
 
 # ---------------------------------------------------------------------------
@@ -162,9 +162,51 @@ SELECT doc_id, n_email, n_ip, n_phone,
 FROM c"""
 
 
+# ---------------------------------------------------------------------------
+# lm_perplexity — add-one bigram LM self-perplexity (CCNet-style filter)
+# ---------------------------------------------------------------------------
+
+
+def q_lm_perplexity(spark, sf_dir):
+    """Per-doc perplexity under the corpus's own add-one bigram LM."""
+    return corpus_stats.bigram_lm_scores(RX._docs(spark, sf_dir))
+
+
+SQL_LM_PERPLEXITY = f"""WITH {RX._SQL_TOKS_CTE_DOCS},
+g AS (
+  SELECT doc_id, unnest({RX._sql_ngram_list(2)}) AS bg
+  FROM t WHERE len(toks) >= 2
+),
+bgc AS (SELECT bg, count(*)::BIGINT AS c_bg FROM g GROUP BY bg),
+ctx AS (
+  SELECT string_split(bg, ' ')[1] AS u, sum(c_bg)::BIGINT AS c_u
+  FROM bgc GROUP BY 1
+),
+voc AS (
+  SELECT count(DISTINCT tk)::BIGINT AS v
+  FROM (SELECT unnest(toks) AS tk FROM t)
+),
+pr AS (
+  SELECT bg, ln((c_bg + 1.0) / (c_u + 1.0 * v)) AS logp
+  FROM bgc JOIN ctx ON string_split(bg, ' ')[1] = u CROSS JOIN voc
+),
+per AS (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(logp) AS s
+  FROM g JOIN pr USING (bg) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_bigrams, 0) AS n_bigrams,
+       CASE WHEN p.doc_id IS NULL THEN 0.0
+            ELSE round(p.s / p.n_bigrams, 6) END AS avg_logprob,
+       CASE WHEN p.doc_id IS NULL THEN 0.0
+            ELSE round(exp(-p.s / p.n_bigrams), 4) END AS ppl
+FROM documents d LEFT JOIN per p USING (doc_id)"""
+
+
 # SQL entries may be zero-arg generator callables (resolved lazily by
 # registry.oracle_sql, exactly like ann_ivf_topk's).
 TRAINDATA_REGISTRY = {
     "semantic_dedup": (q_semantic_dedup, _sql_semantic_dedup),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
+    "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
 }
