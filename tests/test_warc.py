@@ -1,0 +1,137 @@
+"""WARC source/sink: framing robustness, per-record gzip member layout,
+WET (conversion) mode, byte determinism, and loud failure on corrupt
+input."""
+
+import glob
+import gzip
+import os
+import zlib
+
+import pytest
+
+from websearchengine_spark.sources import warc
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, url string, text string"
+    )
+
+
+ADVERSARIAL = [
+    (0, "https://a.example/0", "plain ascii body"),
+    (1, "https://a.example/1", ""),  # empty payload
+    # payload that contains the record magic AND the record separator —
+    # only Content-Length framing survives this
+    (2, "https://a.example/2", "WARC/1.0\r\n\r\nWARC-Type: fake\r\n\r\n"),
+    (3, "https://a.example/3", "unicode éß中文 body"),
+    (4, "https://a.example/4", "bare\rcr and\nlf and crlf\r\n mixed"),
+]
+
+
+@pytest.fixture(scope="module")
+def roundtrip(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("warc"))
+    manifest = warc.write_warc(
+        _docs(spark, ADVERSARIAL).repartition(2, "doc_id"), d
+    ).collect()
+    recs = warc.read_warc(spark, d).collect()
+    return d, manifest, recs
+
+
+def test_roundtrip_payload_identity(roundtrip):
+    _, _, recs = roundtrip
+    by_id = {r.record_id: r for r in recs}
+    assert len(recs) == len(ADVERSARIAL)
+    for doc_id, url, text in ADVERSARIAL:
+        r = by_id[f"<urn:wse:doc:{doc_id}>"]
+        assert r.payload_text == text
+        assert r.url == url
+        assert r.n_payload_bytes == len(text.encode("utf-8"))
+        assert r.http_status == 200
+        assert r.warc_type == "response"
+        assert r.warc_date == warc.WARC_EPOCH
+
+
+def test_manifest_totals(roundtrip):
+    d, manifest, _ = roundtrip
+    assert sum(m.n_records for m in manifest) == len(ADVERSARIAL)
+    for m in manifest:
+        assert os.path.getsize(m.path) == m.n_bytes
+    assert sorted(m.path for m in manifest) == sorted(
+        glob.glob(os.path.join(d, "*.warc.gz"))
+    )
+
+
+def test_per_record_gzip_members(roundtrip):
+    """Common Crawl layout: each record is its own gzip member, so
+    decompressing ONLY the first member yields exactly one record."""
+    d, manifest, _ = roundtrip
+    path = max(manifest, key=lambda m: m.n_records).path
+    raw = open(path, "rb").read()
+    dec = zlib.decompressobj(wbits=31)
+    first = dec.decompress(raw) + dec.flush()
+    assert dec.unused_data  # more members follow
+    recs = warc.parse_warc_bytes(first, path)
+    assert len(recs) == 1
+
+
+def test_wet_conversion_records(spark, tmp_path):
+    d = str(tmp_path / "wet")
+    warc.write_warc(
+        _docs(spark, ADVERSARIAL[:2]), d, warc_type="conversion"
+    ).collect()
+    recs = {
+        r.record_id: r for r in warc.read_warc(spark, d).collect()
+    }
+    r = recs["<urn:wse:doc:0>"]
+    assert r.warc_type == "conversion"
+    assert r.http_status is None
+    assert r.content_type == "text/plain"
+    assert r.payload_text == ADVERSARIAL[0][2]
+
+
+def test_uncompressed_warc(spark, tmp_path):
+    d = str(tmp_path / "plain")
+    warc.write_warc(
+        _docs(spark, ADVERSARIAL), d, gzip_records=False
+    ).collect()
+    # files are raw WARC (no gzip magic), parser passes them through
+    path = glob.glob(os.path.join(d, "*.warc.gz"))[0]
+    assert open(path, "rb").read(2) != b"\x1f\x8b"
+    recs = warc.read_warc(spark, d).collect()
+    assert {r.payload_text for r in recs} == {t for _, _, t in ADVERSARIAL}
+
+
+def test_deterministic_bytes(spark, tmp_path):
+    """Same input partitioning -> byte-identical files (gzip mtime
+    pinned, fixed WARC-Date): a re-run of a failed write is idempotent
+    at the byte level."""
+    outs = []
+    for name in ("w1", "w2"):
+        d = str(tmp_path / name)
+        warc.write_warc(
+            _docs(spark, ADVERSARIAL).repartition(2, "doc_id"), d
+        ).collect()
+        outs.append(
+            {
+                os.path.basename(p): open(p, "rb").read()
+                for p in glob.glob(os.path.join(d, "*"))
+            }
+        )
+    assert outs[0] == outs[1]
+
+
+def test_truncated_record_raises(tmp_path):
+    rec = warc._build_record(7, "u", b"full body", "response", warc.WARC_EPOCH)
+    with pytest.raises(ValueError, match="truncated"):
+        warc.parse_warc_bytes(rec[:-10])
+    with pytest.raises(ValueError, match="expected WARC/1.0"):
+        warc.parse_warc_bytes(b"HTTP/1.1 200 OK\r\n\r\n")
+
+
+def test_multimember_gzip_decoder():
+    a = gzip.compress(b"alpha", mtime=0)
+    b = gzip.compress(b"beta", mtime=0)
+    assert warc._gunzip_members(a + b) == b"alphabeta"
+    assert warc._gunzip_members(b"raw passthrough") == b"raw passthrough"

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from websearchengine_spark.operators import corpus_stats, pii, similarity
 from websearchengine_spark.plans import registry_ext as RX
+from websearchengine_spark.sources import warc
 
 # ---------------------------------------------------------------------------
 # semantic_dedup — SemDeDup-style k-means + within-cluster cosine
@@ -203,10 +204,59 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN per p USING (doc_id)"""
 
 
+# ---------------------------------------------------------------------------
+# warc_roundtrip — Common-Crawl-layout WARC sink + distributed source
+# ---------------------------------------------------------------------------
+# The only gate whose subject is a FILE FORMAT: the Spark side writes the
+# fixture docs as per-record-gzip WARC response records and reads them
+# back through the distributed parser; the oracle is simply the identity
+# projection over `documents` — any framing, encoding, or HTTP-envelope
+# bug shows up as a hash mismatch against text that never left DuckDB.
+
+WARC_URL_EXPR = "'https://example.com/doc/' || CAST(doc_id AS STRING)"
+
+
+def q_warc_roundtrip(spark, sf_dir):
+    """documents -> WARC files (response records, per-record gzip) ->
+    distributed parse -> (doc_id, url, text, n_payload_bytes,
+    http_status)."""
+    import hashlib
+    import shutil
+
+    d = (
+        "/tmp/wse_warc_gate_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    docs = RX._docs(spark, sf_dir).selectExpr(
+        "doc_id", f"({WARC_URL_EXPR}) AS url", "text"
+    )
+    warc.write_warc(docs, d).collect()
+    rec = warc.read_warc(spark, d)
+    return rec.select(
+        F.regexp_extract("record_id", "urn:wse:doc:([0-9]+)", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "url",
+        F.col("payload_text").alias("text"),
+        "n_payload_bytes",
+        "http_status",
+    )
+
+
+SQL_WARC_ROUNDTRIP = f"""SELECT doc_id,
+       ({WARC_URL_EXPR}) AS url,
+       text,
+       octet_length(encode(text))::BIGINT AS n_payload_bytes,
+       CAST(200 AS INT) AS http_status
+FROM documents"""
+
+
 # SQL entries may be zero-arg generator callables (resolved lazily by
 # registry.oracle_sql, exactly like ann_ivf_topk's).
 TRAINDATA_REGISTRY = {
     "semantic_dedup": (q_semantic_dedup, _sql_semantic_dedup),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
+    "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
 }

@@ -1,0 +1,265 @@
+"""WARC (ISO 28500 / WARC/1.0) source + sink — the Common Crawl wire
+format, so a corpus produced by this engine round-trips through the same
+container real web-scale pipelines ingest.
+
+Layout follows Common Crawl's: each output file is a sequence of WARC
+records, each record its OWN gzip member (concatenated members form a
+valid multi-member gzip stream).  Per-record members are what make the
+format splittable at scale — a byte index (offset, length) per record,
+like CC's cdx index, lets any reader fetch one record with a ranged
+read and lets a custom splitter start mid-file at a member boundary.
+
+Scale shape:
+- The WRITER is one ``mapInPandas`` pass: each input partition streams
+  its records into one ``part-<pid>.warc.gz`` and emits a single
+  manifest row (path, n_records, n_bytes) — no shuffle, no driver data.
+- The READER parallelizes per FILE (``spark.read.format("binaryFile")``
+  + ``mapInPandas`` streaming parser).  That matches the corpus layout
+  Common Crawl actually ships — ~90k files of ~1 GB per crawl — where
+  file-level parallelism saturates any executor count long before
+  per-file splitting matters.  Records are parsed strictly by
+  Content-Length framing (never by scanning for magic strings), so
+  payloads containing "WARC/1.0" or bare CRLFs round-trip untouched.
+
+Record grammar written and accepted (subset of ISO 28500 sufficient for
+response/conversion records):
+
+    WARC/1.0\r\n
+    <Header>: <value>\r\n ...
+    \r\n
+    <Content-Length bytes of payload>
+    \r\n\r\n
+
+``response`` records carry an HTTP/1.1 response (status line + headers
++ body) as payload, ``conversion`` records (the WET layout) carry bare
+UTF-8 text.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+import zlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+WARC_VERSION = b"WARC/1.0"
+# fixed stamp: WARC-Date is mandatory, and a deterministic corpus must
+# not depend on wall clock (pass record_date to override)
+WARC_EPOCH = "2026-01-01T00:00:00Z"
+
+MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("n_records", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("record_seq", T.LongType()),
+        T.StructField("record_id", T.StringType()),
+        T.StructField("warc_type", T.StringType()),
+        T.StructField("warc_date", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("payload_text", T.StringType()),
+        T.StructField("n_payload_bytes", T.LongType()),
+    ]
+)
+
+
+def _build_record(
+    doc_id, url: str, body: bytes, warc_type: str, date: str
+) -> bytes:
+    if warc_type == "response":
+        http = (
+            b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/plain; charset=utf-8\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+        )
+        payload = http + body
+        ctype = b"application/http; msgtype=response"
+    elif warc_type == "conversion":
+        payload = body
+        ctype = b"text/plain"
+    else:
+        raise ValueError(f"unsupported warc_type: {warc_type}")
+    head = (
+        WARC_VERSION + b"\r\n"
+        b"WARC-Type: " + warc_type.encode() + b"\r\n"
+        b"WARC-Record-ID: <urn:wse:doc:" + str(doc_id).encode() + b">\r\n"
+        b"WARC-Date: " + date.encode() + b"\r\n"
+        b"WARC-Target-URI: " + url.encode() + b"\r\n"
+        b"Content-Type: " + ctype + b"\r\n"
+        b"Content-Length: " + str(len(payload)).encode() + b"\r\n"
+        b"\r\n"
+    )
+    return head + payload + b"\r\n\r\n"
+
+
+def write_warc(
+    docs: DataFrame,
+    out_dir: str,
+    warc_type: str = "response",
+    gzip_records: bool = True,
+    record_date: str = WARC_EPOCH,
+) -> DataFrame:
+    """Write (doc_id, url, text) as WARC files, one per input partition,
+    each record its own gzip member (mtime pinned to 0 so output bytes
+    are deterministic).  Returns the manifest DataFrame (path,
+    n_records, n_bytes) — ≤ one row per partition ever reaches the
+    driver if the caller collects it."""
+    os.makedirs(out_dir, exist_ok=True)
+    cols = docs.select("doc_id", "url", "text")
+
+    def _write(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
+        n = 0
+        nb = 0
+        with open(path, "wb") as fh:
+            for b in batches:
+                for doc_id, url, text in zip(
+                    b["doc_id"], b["url"], b["text"]
+                ):
+                    rec = _build_record(
+                        doc_id,
+                        str(url),
+                        str(text).encode("utf-8"),
+                        warc_type,
+                        record_date,
+                    )
+                    if gzip_records:
+                        rec = gzip.compress(rec, 6, mtime=0)
+                    fh.write(rec)
+                    n += 1
+                    nb += len(rec)
+        if n == 0:
+            os.remove(path)
+            return
+        yield pd.DataFrame(
+            {"path": [path], "n_records": [n], "n_bytes": [nb]}
+        )
+
+    return cols.mapInPandas(_write, MANIFEST_SCHEMA)
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress a (possibly multi-member) gzip stream; raw passthrough
+    for uncompressed input."""
+    if data[:2] != b"\x1f\x8b":
+        return data
+    out = io.BytesIO()
+    pos = 0
+    while pos < len(data):
+        d = zlib.decompressobj(wbits=31)
+        out.write(d.decompress(data[pos:]))
+        out.write(d.flush())
+        tail = d.unused_data
+        if not tail:
+            break
+        pos = len(data) - len(tail)
+    return out.getvalue()
+
+
+def parse_warc_bytes(data: bytes, path: str = "") -> list[dict]:
+    """Streaming-order parse of one WARC file's bytes into record dicts
+    (RECORD_SCHEMA fields).  Framing is strictly header-driven: read
+    headers to the blank line, take exactly Content-Length payload
+    bytes, require the CRLF CRLF record separator."""
+    data = _gunzip_members(data)
+    out: list[dict] = []
+    pos = 0
+    seq = 0
+    while pos < len(data):
+        if data[pos : pos + 8] != WARC_VERSION:
+            raise ValueError(
+                f"{path}: expected WARC/1.0 at offset {pos}, got "
+                f"{data[pos:pos + 8]!r}"
+            )
+        hdr_end = data.index(b"\r\n\r\n", pos)
+        headers: dict[str, str] = {}
+        for line in data[pos + 10 : hdr_end].split(b"\r\n"):
+            k, _, v = line.partition(b":")
+            headers[k.strip().decode("ascii").lower()] = (
+                v.strip().decode("utf-8", "replace")
+            )
+        clen = int(headers["content-length"])
+        body_start = hdr_end + 4
+        payload = data[body_start : body_start + clen]
+        if len(payload) != clen:
+            raise ValueError(
+                f"{path}: truncated record at offset {pos}: "
+                f"want {clen} payload bytes, have {len(payload)}"
+            )
+        if data[body_start + clen : body_start + clen + 4] != b"\r\n\r\n":
+            raise ValueError(
+                f"{path}: missing record separator at offset "
+                f"{body_start + clen}"
+            )
+        wtype = headers.get("warc-type", "")
+        status = None
+        body = payload
+        if wtype == "response" and payload[:5] == b"HTTP/":
+            head, _, body = payload.partition(b"\r\n\r\n")
+            parts = head.split(b"\r\n")[0].split(b" ")
+            status = int(parts[1]) if len(parts) > 1 else None
+        out.append(
+            {
+                "path": path,
+                "record_seq": seq,
+                "record_id": headers.get("warc-record-id", ""),
+                "warc_type": wtype,
+                "warc_date": headers.get("warc-date", ""),
+                "url": headers.get("warc-target-uri", ""),
+                "content_type": headers.get("content-type", ""),
+                "http_status": status,
+                "payload_text": body.decode("utf-8", "replace"),
+                "n_payload_bytes": len(body),
+            }
+        )
+        pos = body_start + clen + 4
+        seq += 1
+    return out
+
+
+def read_warc(
+    spark: SparkSession, path: str, glob: str = "*.warc.gz"
+) -> DataFrame:
+    """Distributed WARC scan: one task per file (binaryFile source — a
+    WARC file is indivisible without a member index, and file-level
+    parallelism is the Common Crawl layout's design point), streaming
+    parse per file, records fan out as ordinary rows.  Blobs never
+    shuffle: parsing happens in the scan stage, downstream operators see
+    only the extracted columns they select (column pruning applies)."""
+    # directory + pathGlobFilter, not a glob-in-path: Spark's analysis
+    # probes a literal getFileStatus on the path string first, which
+    # throws on glob characters
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+    )
+
+    def _parse(batches):
+        import pandas as pd
+
+        for b in batches:
+            rows: list[dict] = []
+            for p, content in zip(b["path"], b["content"]):
+                rows.extend(parse_warc_bytes(bytes(content), str(p)))
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return files.mapInPandas(_parse, RECORD_SCHEMA)
