@@ -60,6 +60,10 @@ HEADLINE = [
     "dedup_clusters",
     "chunk_dedup",
     "url_canonical",
+    "semantic_dedup",
+    "pii_redact",
+    "lm_perplexity",
+    "warc_roundtrip",
 ]
 
 
