@@ -264,3 +264,40 @@ def test_index_server_close_restores_shuffle_conf(spark, http_index):
     assert srv.term_df is not None  # stats sidecar preloaded
     srv.close()
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+
+def test_build_from_warc_matches_parquet(spark, corpus_dir, tmp_path, capsys):
+    """--format warc: fixture pages shipped as HTTP-response WARC records
+    (HTML payload) must build the SAME index as the parquet path — the
+    frozen S2 extractor recovers byte-identical text, and doc_ids come
+    from url rank either way."""
+    from websearchengine_spark.sources import fixture as fx
+    from websearchengine_spark.sources import warc
+
+    en = fx.corpus_df(spark, 48).where("lang = 'en'")
+    wdir = str(tmp_path / "warc_corpus")
+    warc.write_warc(
+        en.selectExpr("xxhash64(url) AS doc_id", "url", "html AS text"),
+        wdir,
+        http_content_type="text/html; charset=utf-8",
+    ).collect()
+
+    out_w = str(tmp_path / "idx_warc")
+    cli.main(["build", "--corpus", wdir, "--format", "warc", "--out",
+              out_w, "--docs-per-part", "16"])
+    built_w = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    out_p = str(tmp_path / "idx_pq")
+    cli.main(["build", "--corpus", corpus_dir, "--out", out_p,
+              "--docs-per-part", "16"])
+    built_p = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    assert built_w["num_docs"] == built_p["num_docs"] > 0
+    assert built_w["total_terms"] == built_p["total_terms"]
+    assert built_w["avgdl"] == built_p["avgdl"]
+
+    outs = []
+    for idx in (out_w, out_p):
+        cli.main(["query", "--index", idx, "--q", "web search", "--k", "5"])
+        outs.append(capsys.readouterr().out.strip())
+    assert outs[0] == outs[1] and outs[0]

@@ -42,7 +42,34 @@ def cmd_build(args) -> None:
     from websearchengine_spark.operators import checkpoint, indexer
 
     spark = _spark(args.cpus)
-    corpus = spark.read.parquet(args.corpus)
+    if getattr(args, "format", "parquet") == "warc":
+        # Common Crawl ingestion path: WARC records -> (url, text).
+        # response records with an HTML Content-Type go through the
+        # frozen S2 extractor (byte-identity-gated vs the reference
+        # jsoup); WET conversion records and plain-text responses are
+        # taken as-is.  Everything stays map-side until indexing.
+        from websearchengine_spark.functions.udfs import with_extracted_text
+        from websearchengine_spark.sources import warc as warc_src
+
+        rec = warc_src.read_warc(spark, args.corpus).where(
+            F.col("warc_type").isin("response", "conversion")
+        )
+        is_html = F.coalesce(
+            F.col("http_content_type").contains("html"), F.lit(False)
+        )
+        html = with_extracted_text(
+            rec.where(is_html).select(
+                "url", F.col("payload_text").alias("html")
+            ),
+            "html",
+            "text",
+        ).select("url", "text")
+        plain = rec.where(~is_html).select(
+            "url", F.col("payload_text").alias("text")
+        )
+        corpus = html.unionByName(plain)
+    else:
+        corpus = spark.read.parquet(args.corpus)
     if "lang" in corpus.columns:
         corpus = corpus.where(F.col("lang") == "en")
     n_total = corpus.count()
@@ -179,6 +206,8 @@ def main(argv=None) -> None:
     b = sub.add_parser("build")
     b.add_argument("--corpus", required=True)
     b.add_argument("--out", required=True)
+    b.add_argument("--format", default="parquet",
+                   choices=["parquet", "warc"])
     b.add_argument("--docs-per-part", type=int, default=1 << 16)
     b.set_defaults(fn=cmd_build)
 

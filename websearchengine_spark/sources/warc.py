@@ -69,6 +69,7 @@ RECORD_SCHEMA = T.StructType(
         T.StructField("url", T.StringType()),
         T.StructField("content_type", T.StringType()),
         T.StructField("http_status", T.IntegerType()),
+        T.StructField("http_content_type", T.StringType()),
         T.StructField("payload_text", T.StringType()),
         T.StructField("n_payload_bytes", T.LongType()),
     ]
@@ -76,12 +77,17 @@ RECORD_SCHEMA = T.StructType(
 
 
 def _build_record(
-    doc_id, url: str, body: bytes, warc_type: str, date: str
+    doc_id,
+    url: str,
+    body: bytes,
+    warc_type: str,
+    date: str,
+    http_content_type: str = "text/plain; charset=utf-8",
 ) -> bytes:
     if warc_type == "response":
         http = (
             b"HTTP/1.1 200 OK\r\n"
-            b"Content-Type: text/plain; charset=utf-8\r\n"
+            b"Content-Type: " + http_content_type.encode() + b"\r\n"
             b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
         )
         payload = http + body
@@ -110,6 +116,7 @@ def write_warc(
     warc_type: str = "response",
     gzip_records: bool = True,
     record_date: str = WARC_EPOCH,
+    http_content_type: str = "text/plain; charset=utf-8",
 ) -> DataFrame:
     """Write (doc_id, url, text) as WARC files, one per input partition,
     each record its own gzip member (mtime pinned to 0 so output bytes
@@ -138,6 +145,7 @@ def write_warc(
                         str(text).encode("utf-8"),
                         warc_type,
                         record_date,
+                        http_content_type,
                     )
                     if gzip_records:
                         rec = gzip.compress(rec, 6, mtime=0)
@@ -209,11 +217,17 @@ def parse_warc_bytes(data: bytes, path: str = "") -> list[dict]:
             )
         wtype = headers.get("warc-type", "")
         status = None
+        http_ct = None
         body = payload
         if wtype == "response" and payload[:5] == b"HTTP/":
             head, _, body = payload.partition(b"\r\n\r\n")
-            parts = head.split(b"\r\n")[0].split(b" ")
+            lines = head.split(b"\r\n")
+            parts = lines[0].split(b" ")
             status = int(parts[1]) if len(parts) > 1 else None
+            for hl in lines[1:]:
+                k, _, v = hl.partition(b":")
+                if k.strip().lower() == b"content-type":
+                    http_ct = v.strip().decode("utf-8", "replace")
         out.append(
             {
                 "path": path,
@@ -224,6 +238,7 @@ def parse_warc_bytes(data: bytes, path: str = "") -> list[dict]:
                 "url": headers.get("warc-target-uri", ""),
                 "content_type": headers.get("content-type", ""),
                 "http_status": status,
+                "http_content_type": http_ct,
                 "payload_text": body.decode("utf-8", "replace"),
                 "n_payload_bytes": len(body),
             }
