@@ -192,9 +192,14 @@ def ivf_train(
     rounded matrix."""
     import numpy as np
 
+    # Lloyd's makes `iters` passes over the corpus (init + one assignment
+    # per iteration): materialize the projection once so training costs
+    # ONE source scan, not iters+1 — at corpus scale each avoided pass is
+    # a full table read.  StorageLevel default (memory, spill-to-disk)
+    # keeps this safe when the vectors outsize executor memory.
+    vecs = embeddings.select("vec_id", "embedding").persist()
     ranked = (
-        embeddings.select("vec_id", "embedding")
-        .orderBy(
+        vecs.orderBy(
             F.md5(
                 F.concat(F.col("vec_id").cast("string"), F.lit(f"|{seed}"))
             ),
@@ -207,24 +212,31 @@ def ivf_train(
     cent = np.array([list(r.embedding) for r in init], dtype=np.float64)
     cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
     cent = np.round(cent, 6)
-    for _ in range(iters):
-        assigned = ivf_assign(embeddings, cent)
-        means = (
-            assigned.select("cluster", F.posexplode("embedding").alias("dim", "v"))
-            .groupBy("cluster", "dim")
-            .agg(F.avg("v").alias("m"))
-            .collect()
-        )
-        new = cent.copy()
-        by_c: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_c.setdefault(r.cluster, {})[r.dim] = r.m
-        for c, dims in by_c.items():
-            vec = np.array([dims[d] for d in sorted(dims)], dtype=np.float64)
-            nrm = np.linalg.norm(vec)
-            if nrm > 1e-12:
-                new[c] = vec / nrm
-        cent = np.round(new, 6)
+    try:
+        for _ in range(iters):
+            assigned = ivf_assign(vecs, cent)
+            means = (
+                assigned.select(
+                    "cluster", F.posexplode("embedding").alias("dim", "v")
+                )
+                .groupBy("cluster", "dim")
+                .agg(F.avg("v").alias("m"))
+                .collect()
+            )
+            new = cent.copy()
+            by_c: dict[int, dict[int, float]] = {}
+            for r in means:
+                by_c.setdefault(r.cluster, {})[r.dim] = r.m
+            for c, dims in by_c.items():
+                vec = np.array(
+                    [dims[d] for d in sorted(dims)], dtype=np.float64
+                )
+                nrm = np.linalg.norm(vec)
+                if nrm > 1e-12:
+                    new[c] = vec / nrm
+            cent = np.round(new, 6)
+    finally:
+        vecs.unpersist()
     return cent
 
 

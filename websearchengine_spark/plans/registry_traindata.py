@@ -231,7 +231,10 @@ def q_warc_roundtrip(spark, sf_dir):
     docs = RX._docs(spark, sf_dir).selectExpr(
         "doc_id", f"({WARC_URL_EXPR}) AS url", "text"
     )
-    warc.write_warc(docs, d).collect()
+    # 4-way hash repartition: the sink writes one file per partition, so
+    # the read side exercises the multi-file scan (and the small-file
+    # single-partition parquet scan doesn't serialize 5k gzip calls)
+    warc.write_warc(docs.repartition(4, "doc_id"), d).collect()
     rec = warc.read_warc(spark, d)
     return rec.select(
         F.regexp_extract("record_id", "urn:wse:doc:([0-9]+)", 1)
