@@ -64,6 +64,8 @@ HEADLINE = [
     "pii_redact",
     "lm_perplexity",
     "warc_roundtrip",
+    "line_dedup",
+    "domain_cap",
 ]
 
 

@@ -194,3 +194,60 @@ def test_url_dedup_groups_and_kept(spark):
     assert out[10] == ("http://a.com/x?a=1&b=2", 2, True)
     assert out[11] == ("http://a.com/x?a=1&b=2", 2, False)
     assert out[12] == ("http://a.com/y", 1, True)
+
+
+def test_line_dedup_hand_case(spark):
+    """Lines in >= min_docs docs are stripped; survivors keep order;
+    fully-boilerplate docs come back empty."""
+    from websearchengine_spark.operators import corpus_stats
+
+    rows = [(i, "COOKIES\nunique line %d\nFOOTER" % i) for i in range(4)]
+    rows.append((9, "COOKIES\nFOOTER"))  # nothing unique
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in corpus_stats.line_dedup(docs, min_docs=3).collect()
+    }
+    for i in range(4):
+        assert out[i].n_lines == 3 and out[i].n_dropped == 2
+        assert out[i].text_clean == f"unique line {i}"
+    assert out[9].n_lines == 2 and out[9].n_dropped == 2
+    assert out[9].text_clean == ""
+
+
+def test_line_dedup_preserves_order_of_kept_lines(spark):
+    from websearchengine_spark.operators import corpus_stats
+
+    docs = spark.createDataFrame(
+        [(0, "z last\nBOILER\na first\nBOILER\nm mid"),
+         (1, "BOILER"), (2, "BOILER")],
+        "doc_id long, text string",
+    )
+    r = {
+        x.doc_id: x
+        for x in corpus_stats.line_dedup(docs, min_docs=3).collect()
+    }[0]
+    assert r.text_clean == "z last\na first\nm mid"
+
+
+def test_domain_cap_hand_case(spark):
+    """Cap 2: third+ docs of a host are dropped, rank follows doc_id."""
+    from websearchengine_spark.operators import corpus_stats
+
+    pages = spark.createDataFrame(
+        [
+            (3, "https://big.example/3"),
+            (1, "https://big.example/1"),
+            (2, "HTTP://Big.Example:443/2"),
+            (7, "https://small.example/7"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {
+        r.doc_id: r for r in corpus_stats.domain_cap(pages, cap=2).collect()
+    }
+    assert out[1].host == "big.example" and out[2].host == "big.example"
+    assert [out[i].host_rank for i in (1, 2, 3)] == [1, 2, 3]
+    assert [out[i].is_kept for i in (1, 2, 3)] == [True, True, False]
+    assert all(out[i].host_docs == 3 for i in (1, 2, 3))
+    assert out[7].host == "small.example" and out[7].is_kept

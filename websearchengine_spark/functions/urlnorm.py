@@ -65,3 +65,13 @@ def canonical_url(url) -> F.Column:
         path,
         F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
     )
+
+
+def host_of(url) -> F.Column:
+    """Lowercased host (port stripped) — the per-domain grouping key for
+    domain caps / per-host stats; same regex subset as canonical_url."""
+    u = F.col(url) if isinstance(url, str) else url
+    hostport = F.lower(
+        F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    )
+    return F.regexp_replace(hostport, ":[0-9]+$", "")

@@ -444,3 +444,88 @@ def bigram_lm_scores(
             ).otherwise(F.lit(0.0)).alias("ppl"),
         )
     )
+
+
+def line_dedup(docs: DataFrame, min_docs: int = 5) -> DataFrame:
+    """CCNet-style line-level boilerplate removal: a LINE (newline-split)
+    that occurs in >= ``min_docs`` distinct documents is boilerplate
+    ("accept all cookies", nav bars, copyright footers) and is stripped
+    from every document; the cleaned text preserves the surviving lines
+    in original order.
+
+    Returns (doc_id, n_lines, n_dropped, text_clean) for every doc
+    (fully-boilerplate docs come back with text_clean = '').
+
+    Scale shape: lines shuffle once keyed by their md5 fingerprint (the
+    16-byte key, not the line text, rides the wire for the frequency
+    pass), the frequent-fp set is the anti-join side (bounded above by
+    total_lines / min_docs and in practice tiny — that is what makes a
+    line "boilerplate"), and reassembly is one groupBy(doc_id) with a
+    map-side-combined collect_list.  This is the chunk_dedup shuffle
+    shape with a rewrite stage on top."""
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), "\n")).alias("pos", "line"),
+    ).withColumn("fp", F.md5(F.col("line")))
+    freq = (
+        lines.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .where(F.col("df") >= min_docs)
+        .select("fp")
+    )
+    kept = lines.join(freq, "fp", "left_anti")
+    tot = lines.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines")
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text_clean"),
+    )
+    return (
+        tot.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            (
+                F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0))
+            ).cast("long").alias("n_dropped"),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        )
+    )
+
+
+def domain_cap(
+    pages: DataFrame, cap: int = 100, url_col: str = "url"
+) -> DataFrame:
+    """Per-domain contribution cap: keep at most ``cap`` docs per host
+    (lowest doc_id first — deterministic), the standard guard against a
+    single crawler-trap domain dominating a training mix.
+
+    Returns (doc_id, url, host, host_docs, host_rank, is_kept) for every
+    page.  One shuffle: rank and count come from the same window over
+    the host key; at web scale hosts are the natural partition key and
+    the heavy tail (few mega-hosts) is exactly what AQE skew-split
+    handles — no host's rows need to fit in memory, only sort."""
+    from pyspark.sql import Window
+
+    from websearchengine_spark.functions.urlnorm import host_of
+
+    w = Window.partitionBy("host").orderBy("doc_id")
+    wall = Window.partitionBy("host")
+    return (
+        pages.select("doc_id", url_col)
+        .withColumn("host", host_of(url_col))
+        .withColumn(
+            "host_rank", F.row_number().over(w).cast("long")
+        )
+        .withColumn(
+            "host_docs", F.count(F.lit(1)).over(wall).cast("long")
+        )
+        .withColumn("is_kept", F.col("host_rank") <= cap)
+    )

@@ -255,6 +255,105 @@ SQL_WARC_ROUNDTRIP = f"""SELECT doc_id,
 FROM documents"""
 
 
+# ---------------------------------------------------------------------------
+# line_dedup — CCNet-style line-level boilerplate removal
+# ---------------------------------------------------------------------------
+# Planted structure via one shared expression: every doc gains a global
+# boilerplate line ("please accept all cookies", df = corpus), a third
+# gain a second one, and every doc keeps a unique trailer — so the gate
+# covers drop-everywhere, drop-subset, keep-unique, and ordered
+# reassembly in one result.  chr(10) is the newline on both engines
+# (a literal '\n' escape is dialect-dependent).
+
+LINE_MIN_DOCS = 5
+LINE_TEXT_EXPR = """text || chr(10) || 'please accept all cookies'
+  || chr(10)
+  || CASE WHEN doc_id % 3 = 0
+          THEN 'subscribe to our newsletter' || chr(10) ELSE '' END
+  || 'ref ' || CAST(doc_id AS STRING)"""
+
+
+def q_line_dedup(spark, sf_dir):
+    """Boilerplate-line strip over fixture text + planted line layers."""
+    docs = RX._docs(spark, sf_dir).selectExpr(
+        "doc_id", f"({LINE_TEXT_EXPR}) AS text"
+    )
+    return corpus_stats.line_dedup(docs, LINE_MIN_DOCS)
+
+
+SQL_LINE_DEDUP = f"""WITH src AS (
+  SELECT doc_id, ({LINE_TEXT_EXPR}) AS text FROM documents
+),
+l AS (
+  SELECT doc_id, generate_subscripts(ls, 1) - 1 AS pos, unnest(ls) AS ln
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM src)
+),
+lf AS (SELECT doc_id, pos, ln, md5(ln) AS fp FROM l),
+freq AS (
+  SELECT fp FROM lf GROUP BY fp
+  HAVING count(DISTINCT doc_id) >= {LINE_MIN_DOCS}
+),
+kept AS (
+  SELECT doc_id, pos, ln FROM lf
+  WHERE fp NOT IN (SELECT fp FROM freq)
+),
+tot AS (SELECT doc_id, count(*)::BIGINT AS n_lines FROM lf GROUP BY 1),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_kept,
+         string_agg(ln, chr(10) ORDER BY pos) AS text_clean
+  FROM kept GROUP BY 1
+)
+SELECT t.doc_id, t.n_lines,
+       (t.n_lines - coalesce(a.n_kept, 0))::BIGINT AS n_dropped,
+       coalesce(a.text_clean, '') AS text_clean
+FROM tot t LEFT JOIN agg a USING (doc_id)"""
+
+
+# ---------------------------------------------------------------------------
+# domain_cap — per-host contribution cap
+# ---------------------------------------------------------------------------
+# Reuses the url_canonical gate's messy-URL synthesis (registry_webdata
+# URL_EXPR): its five variants collapse to two hosts with a 40/60 doc
+# split, so a cap of 50 exercises kept, capped-out, and rank/count
+# columns on both hosts.
+
+DOMAIN_CAP = 50
+
+
+def q_domain_cap(spark, sf_dir):
+    from websearchengine_spark.plans import registry_webdata as RW
+
+    pages = RX._docs(spark, sf_dir).selectExpr(
+        "doc_id", f"({RW.URL_EXPR}) AS url"
+    )
+    return corpus_stats.domain_cap(pages, DOMAIN_CAP)
+
+
+def _sql_domain_cap() -> str:
+    from websearchengine_spark.plans import registry_webdata as RW
+
+    return f"""WITH pages AS (
+  SELECT doc_id, ({RW.URL_EXPR}) AS url FROM documents
+),
+h AS (
+  SELECT doc_id, url,
+         regexp_replace(lower(regexp_extract(url,
+             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+             ':[0-9]+$', '') AS host
+  FROM pages
+),
+r AS (
+  SELECT doc_id, url, host,
+         (row_number() OVER (PARTITION BY host ORDER BY doc_id))::BIGINT
+           AS host_rank,
+         (count(*) OVER (PARTITION BY host))::BIGINT AS host_docs
+  FROM h
+)
+SELECT doc_id, url, host, host_docs, host_rank,
+       (host_rank <= {DOMAIN_CAP}) AS is_kept
+FROM r"""
+
+
 # SQL entries may be zero-arg generator callables (resolved lazily by
 # registry.oracle_sql, exactly like ann_ivf_topk's).
 TRAINDATA_REGISTRY = {
@@ -262,4 +361,6 @@ TRAINDATA_REGISTRY = {
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
+    "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
+    "domain_cap": (q_domain_cap, _sql_domain_cap),
 }
