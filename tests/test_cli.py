@@ -301,3 +301,52 @@ def test_build_from_warc_matches_parquet(spark, corpus_dir, tmp_path, capsys):
         cli.main(["query", "--index", idx, "--q", "web search", "--k", "5"])
         outs.append(capsys.readouterr().out.strip())
     assert outs[0] == outs[1] and outs[0]
+
+
+def test_pipeline_end_to_end(spark, corpus_dir, tmp_path, capsys):
+    """The full training-data pipeline runs over the fixture corpus and
+    every stage's attrition is monotone; output parquet carries packed
+    bin assignments."""
+    out = str(tmp_path / "pipe")
+    cli.main([
+        "pipeline", "--corpus", corpus_dir, "--out", out,
+        "--boilerplate-min-docs", "5", "--min-tokens", "3",
+        "--max-rep", "0.9", "--budget", "256",
+    ])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["docs_in"] > 0
+    assert (
+        rep["docs_in"]
+        >= rep["after_exact_dedup"]
+        >= rep["after_near_dedup"]
+        >= rep["after_quality"]
+        > 0
+    )
+    assert rep["n_bins"] >= 1
+    df = spark.read.parquet(os.path.join(out, "corpus"))
+    assert df.count() == rep["after_quality"]
+    assert set(df.columns) == {"doc_id", "url", "text", "n_tokens", "bin_id"}
+    assert os.path.exists(os.path.join(out, "report.json"))
+
+
+def test_pipeline_from_warc(spark, tmp_path, capsys):
+    """WARC in -> packed parquet out: the ingestion and pipeline stages
+    compose."""
+    from websearchengine_spark.sources import fixture as fx
+    from websearchengine_spark.sources import warc
+
+    en = fx.corpus_df(spark, 32).where("lang = 'en'")
+    wdir = str(tmp_path / "w")
+    warc.write_warc(
+        en.selectExpr("xxhash64(url) AS doc_id", "url", "html AS text"),
+        wdir,
+        http_content_type="text/html",
+    ).collect()
+    out = str(tmp_path / "pipe")
+    cli.main([
+        "pipeline", "--corpus", wdir, "--format", "warc", "--out", out,
+        "--min-tokens", "1", "--max-rep", "1.0", "--budget", "128",
+    ])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["docs_in"] == en.count()
+    assert rep["after_quality"] > 0

@@ -36,22 +36,20 @@ def _spark(cpus: str | None = None):
     return get_spark(f"local[{cpus}]" if cpus else None)
 
 
-def cmd_build(args) -> None:
+def _load_corpus(spark, corpus_path: str, fmt: str):
+    """(url, text[, lang, ...]) from a parquet table or a WARC directory.
+
+    WARC (Common Crawl ingestion): response records with an HTML
+    Content-Type go through the frozen S2 extractor (byte-identity-gated
+    vs the reference jsoup); WET conversion records and plain-text
+    responses are taken as-is.  Everything stays map-side."""
     from pyspark.sql import functions as F
 
-    from websearchengine_spark.operators import checkpoint, indexer
-
-    spark = _spark(args.cpus)
-    if getattr(args, "format", "parquet") == "warc":
-        # Common Crawl ingestion path: WARC records -> (url, text).
-        # response records with an HTML Content-Type go through the
-        # frozen S2 extractor (byte-identity-gated vs the reference
-        # jsoup); WET conversion records and plain-text responses are
-        # taken as-is.  Everything stays map-side until indexing.
+    if fmt == "warc":
         from websearchengine_spark.functions.udfs import with_extracted_text
         from websearchengine_spark.sources import warc as warc_src
 
-        rec = warc_src.read_warc(spark, args.corpus).where(
+        rec = warc_src.read_warc(spark, corpus_path).where(
             F.col("warc_type").isin("response", "conversion")
         )
         is_html = F.coalesce(
@@ -67,9 +65,117 @@ def cmd_build(args) -> None:
         plain = rec.where(~is_html).select(
             "url", F.col("payload_text").alias("text")
         )
-        corpus = html.unionByName(plain)
-    else:
-        corpus = spark.read.parquet(args.corpus)
+        return html.unionByName(plain)
+    return spark.read.parquet(corpus_path)
+
+
+def cmd_pipeline(args) -> None:
+    """End-to-end training-data pipeline over a raw corpus: extract ->
+    boilerplate line removal -> PII redaction -> exact dedup -> near-dup
+    cluster dedup -> quality filters (repetition / token count /
+    optional LM perplexity cap) -> token-budget sequence packing.
+
+    Writes the surviving corpus (doc_id, url, text, n_tokens, bin_id)
+    as parquet plus a per-stage attrition report (out/report.json, also
+    printed as one JSON line).  Every stage is one of the gated
+    operators; the driver only ever sees per-stage COUNTS."""
+    from pyspark.sql import functions as F
+
+    from websearchengine_spark.operators import corpus_stats, dedup, indexer
+    from websearchengine_spark.operators import pii as pii_op
+
+    spark = _spark(args.cpus)
+    corpus = _load_corpus(spark, args.corpus, args.format)
+    if args.lang and "lang" in corpus.columns:
+        corpus = corpus.where(F.col("lang") == args.lang)
+    report: dict = {}
+    docs = indexer.assign_doc_ids(corpus.select("url", "text")).persist()
+    report["docs_in"] = docs.count()
+
+    # 1. boilerplate line removal (CCNet line dedup)
+    clean = corpus_stats.line_dedup(docs, args.boilerplate_min_docs)
+    docs = (
+        docs.join(clean.select("doc_id", "text_clean"), "doc_id")
+        .select("doc_id", "url", F.col("text_clean").alias("text"))
+    )
+
+    # 2. PII scrub (map-side; rides the same pass as the dedup below)
+    red = pii_op.pii_redact(docs)
+    docs = (
+        docs.drop("text")
+        .join(red.select("doc_id", "redacted", "n_pii"), "doc_id")
+        .withColumnRenamed("redacted", "text")
+        .persist()
+    )
+    report["docs_with_pii"] = docs.where(F.col("n_pii") > 0).count()
+
+    # 3. exact dedup (normalized-text md5, keep lowest doc_id)
+    wf = docs.withColumn("fp", dedup.exact_fp_col())
+    canon = wf.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    docs2 = (
+        wf.join(canon, "fp")
+        .where(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "url", "text")
+        .persist()
+    )
+    report["after_exact_dedup"] = docs2.count()
+    docs.unpersist()
+
+    # 4. near-dup cluster dedup (MinHash-LSH -> verify -> components)
+    nd = dedup.dedup_clusters(docs2, args.minhash_threshold)
+    docs3 = (
+        docs2.join(nd.where(F.col("is_kept")).select("doc_id"), "doc_id")
+        .persist()
+    )
+    report["after_near_dedup"] = docs3.count()
+    docs2.unpersist()
+
+    # 5. quality filters
+    rep = corpus_stats.repetition_scores(docs3)
+    qual = (
+        docs3.join(rep.select("doc_id", "rep_score"), "doc_id")
+        .withColumn(
+            "n_tokens",
+            F.size(
+                F.filter(dedup.tokens_col(), lambda x: x != F.lit(""))
+            ).cast("long"),
+        )
+    )
+    cond = (F.col("rep_score") <= args.max_rep) & (
+        F.col("n_tokens") >= args.min_tokens
+    )
+    if args.max_ppl is not None:
+        lm = corpus_stats.bigram_lm_scores(docs3)
+        qual = qual.join(lm.select("doc_id", "ppl"), "doc_id")
+        cond = cond & (F.col("ppl") <= args.max_ppl)
+    docs4 = qual.where(cond).select(
+        "doc_id", "url", "text", "n_tokens"
+    ).persist()
+    report["after_quality"] = docs4.count()
+    docs3.unpersist()
+
+    # 6. token-budget packing
+    packed = corpus_stats.sequence_pack(
+        docs4.select("doc_id", "text"), args.budget
+    )
+    out_df = docs4.join(packed.select("doc_id", "bin_id"), "doc_id")
+    out_path = os.path.join(args.out, "corpus")
+    out_df.write.mode("overwrite").parquet(out_path)
+    report["n_bins"] = out_df.select("bin_id").distinct().count()
+    report["out"] = out_path
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "report.json"), "w") as f:
+        json.dump(report, f)
+    print(json.dumps(report))
+
+
+def cmd_build(args) -> None:
+    from pyspark.sql import functions as F
+
+    from websearchengine_spark.operators import checkpoint, indexer
+
+    spark = _spark(args.cpus)
+    corpus = _load_corpus(spark, args.corpus, getattr(args, "format", "parquet"))
     if "lang" in corpus.columns:
         corpus = corpus.where(F.col("lang") == "en")
     n_total = corpus.count()
@@ -230,6 +336,20 @@ def main(argv=None) -> None:
     g.add_argument("--corpus", required=True)
     g.add_argument("--out", required=True)
     g.set_defaults(fn=cmd_mine)
+
+    pl = sub.add_parser("pipeline")
+    pl.add_argument("--corpus", required=True)
+    pl.add_argument("--out", required=True)
+    pl.add_argument("--format", default="parquet",
+                    choices=["parquet", "warc"])
+    pl.add_argument("--lang", default="en")
+    pl.add_argument("--boilerplate-min-docs", type=int, default=5)
+    pl.add_argument("--minhash-threshold", type=float, default=0.7)
+    pl.add_argument("--max-rep", type=float, default=0.2)
+    pl.add_argument("--min-tokens", type=int, default=5)
+    pl.add_argument("--max-ppl", type=float, default=None)
+    pl.add_argument("--budget", type=int, default=2048)
+    pl.set_defaults(fn=cmd_pipeline)
 
     s = sub.add_parser("serve")
     s.add_argument("--index", required=True)

@@ -454,12 +454,19 @@ def dedup_clusters(
     )
 
 
+def exact_fp_col(text_col: str = "text") -> F.Column:
+    """md5 over the normalized token stream — the exact-dedup key."""
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")
+    )
+    return F.md5(norm.cast("binary"))
+
+
 def exact_dup_groups(docs: DataFrame) -> DataFrame:
     """(fp, canonical_doc_id, n_docs) — exact dedup over the normalized
     token stream."""
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
     return (
-        docs.select("doc_id", F.md5(norm.cast("binary")).alias("fp"))
+        docs.select("doc_id", exact_fp_col().alias("fp"))
         .groupBy("fp")
         .agg(
             F.min("doc_id").alias("canonical_doc_id"),
