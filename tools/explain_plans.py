@@ -96,6 +96,29 @@ def main() -> None:
             spark.read.parquet(f"{sf_dir}/documents.parquet"), 2, 100
         ).explain("formatted")
 
+        docs_raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+        print("=" * 72)
+        print("6. PII redaction (expect ONE Project over the scan — no")
+        print("   shuffle, no Python worker: pure codegen regexp)")
+        print("=" * 72)
+        from websearchengine_spark.operators import pii as pii_op
+
+        pii_op.pii_redact(docs_raw).explain("formatted")
+
+        print("=" * 72)
+        print("7. Boilerplate line removal (expect: fp-keyed partial/final")
+        print("   aggregate, anti-join against the BOUNDED frequent set,")
+        print("   ONE doc_id regroup with ObjectHashAggregate collect_list)")
+        print("=" * 72)
+        corpus_stats.line_dedup(docs_raw, 5).explain("formatted")
+
+        print("=" * 72)
+        print("8. Bigram-LM scoring (expect broadcast of the 1-row vocab,")
+        print("   Zipf-bounded model aggregates, no driver-side scalars)")
+        print("=" * 72)
+        corpus_stats.bigram_lm_scores(docs_raw).explain("formatted")
+
     spark.stop()
 
 
