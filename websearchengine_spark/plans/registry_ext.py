@@ -459,6 +459,40 @@ topt AS (SELECT term, freq FROM summed ORDER BY freq DESC, term ASC LIMIT 10)
 SELECT term, round(freq / (sum(freq) OVER ()), 9) AS prob FROM topt"""
 
 
+def q_bhattacharyya(spark, sf_dir):
+    """G6: Bhattacharyya coefficient between two PRF query
+    representations — the bm25 query's top-10-doc representation vs a
+    background representation over the 10 lowest doc_ids.  Single-row
+    (bc) output; probs are the same round-9 ratios as the PRF gate on
+    both engines."""
+    top = R.q_bm25_topk(spark, sf_dir).select("doc_id")
+    postings = R._postings(spark, sf_dir)
+    rep_a = mining.prf_representation(top, postings, 10)
+    base = _docs(spark, sf_dir).select("doc_id").orderBy("doc_id").limit(10)
+    rep_b = mining.prf_representation(base, postings, 10)
+    return mining.bhattacharyya(rep_a, rep_b)
+
+
+# reuse the whole PRF pipeline (shared CTE prefix through `topt`), add
+# the background representation, overlap-join, per-pair sum
+SQL_BHATTACHARYYA = SQL_TOP_TERMS_PRF.rsplit("\nSELECT", 1)[0] + """,
+repa AS (
+  SELECT term, round(freq / (sum(freq) OVER ()), 9) AS pa FROM topt
+),
+base AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 10),
+summedb AS (
+  SELECT term, sum(tf) AS freq FROM postings JOIN base USING (doc_id)
+  GROUP BY term
+),
+toptb AS (
+  SELECT term, freq FROM summedb ORDER BY freq DESC, term ASC LIMIT 10
+),
+repb AS (
+  SELECT term, round(freq / (sum(freq) OVER ()), 9) AS pb FROM toptb
+)
+SELECT round(sum(sqrt(pa * pb)), 9) AS bc FROM repa JOIN repb USING (term)"""
+
+
 def q_spearman_rank(spark, sf_dir):
     """G4 Spearman ρ between per-doc token count and n_chars (desc ranks,
     doc_id tiebreak), textbook formula via corr of ranks."""
@@ -912,6 +946,7 @@ EXT_REGISTRY = {
     "ann_ivf_topk": (q_ann_ivf_topk, _sql_ann_ivf_topk),
     "pagerank_synth": (q_pagerank_synth, SQL_PAGERANK_SYNTH),
     "top_terms_prf": (q_top_terms_prf, SQL_TOP_TERMS_PRF),
+    "bhattacharyya": (q_bhattacharyya, SQL_BHATTACHARYYA),
     "spearman_rank": (q_spearman_rank, SQL_SPEARMAN_RANK),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
