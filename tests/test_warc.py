@@ -135,3 +135,47 @@ def test_multimember_gzip_decoder():
     b = gzip.compress(b"beta", mtime=0)
     assert warc._gunzip_members(a + b) == b"alphabeta"
     assert warc._gunzip_members(b"raw passthrough") == b"raw passthrough"
+
+
+# pure-python property round-trip (no Spark): arbitrary payload bytes
+# must survive build -> (multi-member gzip) -> parse, in order
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.text(min_size=0, max_size=200),
+            min_size=1,
+            max_size=8,
+        ),
+        st.booleans(),
+    )
+    def test_warc_framing_roundtrip_property(texts, gz):
+        recs = b"".join(
+            warc._build_record(i, f"u/{i}", t.encode("utf-8"),
+                               "conversion", warc.WARC_EPOCH)
+            for i, t in enumerate(texts)
+        )
+        if gz:
+            recs = b"".join(
+                gzip.compress(
+                    warc._build_record(i, f"u/{i}", t.encode("utf-8"),
+                                       "conversion", warc.WARC_EPOCH),
+                    mtime=0,
+                )
+                for i, t in enumerate(texts)
+            )
+        out = warc.parse_warc_bytes(recs)
+        assert [r["payload_text"] for r in out] == texts
+        assert [r["record_seq"] for r in out] == list(range(len(texts)))
+        assert all(r["url"] == f"u/{r['record_seq']}" for r in out)
+except ImportError:  # pragma: no cover
+    pass
+
+
+def test_crlf_url_rejected():
+    with pytest.raises(ValueError, match="CR/LF"):
+        warc._build_record(0, "https://x/\r\nWARC-Type: fake", b"b",
+                           "response", warc.WARC_EPOCH)

@@ -84,6 +84,10 @@ def _build_record(
     date: str,
     http_content_type: str = "text/plain; charset=utf-8",
 ) -> bytes:
+    if "\r" in url or "\n" in url:
+        # a CR/LF in the URI would terminate the header line early and
+        # desync every later record — corrupt input fails loudly here
+        raise ValueError(f"CR/LF in WARC-Target-URI: {url!r}")
     if warc_type == "response":
         http = (
             b"HTTP/1.1 200 OK\r\n"
