@@ -201,3 +201,43 @@ def test_dedup_exact_stream_equals_batch(spark, tmp_path):
     )
     assert len(got) == 7  # one survivor per distinct text
     assert len({r.text for r in got}) == 7
+
+
+def test_warc_ingest_stream_equals_batch(spark, tmp_path):
+    """Watch-the-crawl-directory ingestion: the streaming WARC source
+    (binaryFile file stream + the same per-file parser) must surface
+    exactly the batch reader's corpus rows, across files arriving in
+    separate micro-batches."""
+    from websearchengine_spark.sources import fixture as fx
+    from websearchengine_spark.sources import warc
+
+    en = fx.corpus_df(spark, 24).where("lang = 'en'")
+    wdir = tmp_path / "crawl"
+    wdir.mkdir()
+    # two "crawl drops": first half, then second half
+    halves = [
+        en.where("xxhash64(url) % 2 = 0"),
+        en.where("xxhash64(url) % 2 != 0"),
+    ]
+    out = tmp_path / "landed"
+    cp = tmp_path / "cp"
+    for i, h in enumerate(halves):
+        warc.write_warc(
+            h.selectExpr(f"xxhash64(url) AS doc_id", "url",
+                         "html AS text"),
+            str(wdir / f"drop{i}"),
+            http_content_type="text/html",
+        ).collect()
+        stream = warc.read_warc_stream(spark, str(wdir) + "/*")
+        q = (
+            warc.records_to_corpus(stream)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(cp))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    got = spark.read.parquet(str(out)).orderBy("url").collect()
+    want = en.selectExpr("url", "text").orderBy("url").collect()
+    assert [(r.url, r.text) for r in got] == [(r.url, r.text) for r in want]

@@ -43,29 +43,12 @@ def _load_corpus(spark, corpus_path: str, fmt: str):
     Content-Type go through the frozen S2 extractor (byte-identity-gated
     vs the reference jsoup); WET conversion records and plain-text
     responses are taken as-is.  Everything stays map-side."""
-    from pyspark.sql import functions as F
-
     if fmt == "warc":
-        from websearchengine_spark.functions.udfs import with_extracted_text
         from websearchengine_spark.sources import warc as warc_src
 
-        rec = warc_src.read_warc(spark, corpus_path).where(
-            F.col("warc_type").isin("response", "conversion")
+        return warc_src.records_to_corpus(
+            warc_src.read_warc(spark, corpus_path)
         )
-        is_html = F.coalesce(
-            F.col("http_content_type").contains("html"), F.lit(False)
-        )
-        html = with_extracted_text(
-            rec.where(is_html).select(
-                "url", F.col("payload_text").alias("html")
-            ),
-            "html",
-            "text",
-        ).select("url", "text")
-        plain = rec.where(~is_html).select(
-            "url", F.col("payload_text").alias("text")
-        )
-        return html.unionByName(plain)
     return spark.read.parquet(corpus_path)
 
 

@@ -143,10 +143,18 @@ def write_warc(
                 for doc_id, url, text in zip(
                     b["doc_id"], b["url"], b["text"]
                 ):
+                    # a binary text column (e.g. raw html bytes) passes
+                    # through unchanged; str(bytes) would smuggle the
+                    # "b'...'" repr into the payload
+                    body = (
+                        bytes(text)
+                        if isinstance(text, (bytes, bytearray, memoryview))
+                        else str(text).encode("utf-8")
+                    )
                     rec = _build_record(
                         doc_id,
                         str(url),
-                        str(text).encode("utf-8"),
+                        body,
                         warc_type,
                         record_date,
                         http_content_type,
@@ -270,15 +278,64 @@ def read_warc(
         .load(path)
         .select("path", "content")
     )
+    return files.mapInPandas(_parse_files, RECORD_SCHEMA)
 
-    def _parse(batches):
-        import pandas as pd
 
-        for b in batches:
-            rows: list[dict] = []
-            for p, content in zip(b["path"], b["content"]):
-                rows.extend(parse_warc_bytes(bytes(content), str(p)))
-            if rows:
-                yield pd.DataFrame(rows)
+def _parse_files(batches):
+    import pandas as pd
 
-    return files.mapInPandas(_parse, RECORD_SCHEMA)
+    for b in batches:
+        rows: list[dict] = []
+        for p, content in zip(b["path"], b["content"]):
+            rows.extend(parse_warc_bytes(bytes(content), str(p)))
+        if rows:
+            yield pd.DataFrame(rows)
+
+
+# binaryFile's fixed schema, required up front by readStream
+_BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def read_warc_stream(
+    spark: SparkSession, path: str, glob: str = "*.warc.gz"
+) -> DataFrame:
+    """Streaming twin of read_warc: watch ``path`` for NEW WARC files
+    (the crawl-ingestion shape — each completed crawl file appears once
+    and is parsed once); every micro-batch runs the same per-file
+    streaming parser.  Compose with streaming/stream.py's
+    ``incremental_index_query`` for a watch-the-crawl-directory ->
+    incremental-index pipeline, or land parquet with a plain
+    writeStream."""
+    files = (
+        spark.readStream.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .schema(_BINARY_FILE_SCHEMA)
+        .load(path)
+        .select("path", "content")
+    )
+    return files.mapInPandas(_parse_files, RECORD_SCHEMA)
+
+
+def records_to_corpus(rec: DataFrame) -> DataFrame:
+    """WARC records -> (url, text) corpus rows: response records with an
+    HTML Content-Type go through the frozen S2 extractor
+    (byte-identity-gated vs the reference jsoup); WET conversion records
+    and plain-text responses pass through.  Works identically on batch
+    and streaming record DataFrames."""
+    from websearchengine_spark.functions.udfs import with_extracted_text
+
+    rec = rec.where(F.col("warc_type").isin("response", "conversion"))
+    is_html = F.coalesce(
+        F.col("http_content_type").contains("html"), F.lit(False)
+    )
+    html = with_extracted_text(
+        rec.where(is_html).select("url", F.col("payload_text").alias("html")),
+        "html",
+        "text",
+    ).select("url", "text")
+    plain = rec.where(~is_html).select(
+        "url", F.col("payload_text").alias("text")
+    )
+    return html.unionByName(plain)
