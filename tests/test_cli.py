@@ -350,3 +350,19 @@ def test_pipeline_from_warc(spark, tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["docs_in"] == en.count()
     assert rep["after_quality"] > 0
+
+
+def test_export_wet_roundtrip(spark, corpus_dir, tmp_path, capsys):
+    """export --wet writes WET conversion records that the reader
+    round-trips back to the en-filtered corpus text."""
+    from websearchengine_spark.sources import warc
+
+    out = str(tmp_path / "wet")
+    cli.main(["export", "--corpus", corpus_dir, "--out", out, "--wet"])
+    man = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    en = fixture.corpus_df(spark, 48).where("lang = 'en'")
+    assert man["records"] == en.count()
+    rec = warc.read_warc(spark, out)
+    got = {r.url: r.payload_text for r in rec.collect()}
+    want = {r.url: r.text for r in en.select("url", "text").collect()}
+    assert got == want

@@ -152,6 +152,38 @@ def cmd_pipeline(args) -> None:
     print(json.dumps(report))
 
 
+def cmd_export(args) -> None:
+    """Export a corpus (parquet (url,text) or a built index's docs view)
+    as WARC response records or WET conversion records — the handoff
+    format for any Common-Crawl-tooling consumer.  Prints the manifest
+    as one JSON line."""
+    from pyspark.sql import functions as F
+
+    from websearchengine_spark.operators import indexer
+    from websearchengine_spark.sources import warc as warc_src
+
+    spark = _spark(args.cpus)
+    corpus = _load_corpus(spark, args.corpus, "parquet")
+    if args.lang and "lang" in corpus.columns:
+        corpus = corpus.where(F.col("lang") == args.lang)
+    ids = indexer.assign_doc_ids(corpus.select("url", "text"))
+    manifest = warc_src.write_warc(
+        ids,
+        args.out,
+        warc_type="conversion" if args.wet else "response",
+    ).collect()
+    print(
+        json.dumps(
+            {
+                "files": len(manifest),
+                "records": int(sum(m.n_records for m in manifest)),
+                "bytes": int(sum(m.n_bytes for m in manifest)),
+                "out": args.out,
+            }
+        )
+    )
+
+
 def cmd_build(args) -> None:
     from pyspark.sql import functions as F
 
@@ -333,6 +365,13 @@ def main(argv=None) -> None:
     pl.add_argument("--max-ppl", type=float, default=None)
     pl.add_argument("--budget", type=int, default=2048)
     pl.set_defaults(fn=cmd_pipeline)
+
+    e = sub.add_parser("export")
+    e.add_argument("--corpus", required=True)
+    e.add_argument("--out", required=True)
+    e.add_argument("--wet", action="store_true")
+    e.add_argument("--lang", default="en")
+    e.set_defaults(fn=cmd_export)
 
     s = sub.add_parser("serve")
     s.add_argument("--index", required=True)
