@@ -196,3 +196,55 @@ def test_bigram_lm_self_scores_repetitive_low(spark):
     )
     out = {r.doc_id: r for r in corpus_stats.bigram_lm_scores(docs).collect()}
     assert out[0].ppl < out[100].ppl
+
+
+def test_cms_never_undercounts_and_is_tight_when_wide(spark):
+    """CMS guarantee: est >= exact for every term; with width >> distinct
+    terms and 4 rows, the min over rows is exact on this corpus."""
+    from websearchengine_spark.operators import corpus_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from pyspark.sql import functions as F
+
+    exact = (
+        docs.select(F.explode(corpus_stats._toks_clean()).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+    )
+    sk = corpus_stats.cms_build(docs)
+    est = corpus_stats.cms_estimate(sk, exact.select("term"))
+    joined = exact.join(est, "term").collect()
+    assert joined
+    assert all(r.est >= r.exact_cnt for r in joined)
+    # sketch size is bounded by depth x width regardless of corpus
+    assert sk.count() <= corpus_stats.CMS_WIDTH * corpus_stats.CMS_DEPTH
+
+
+def test_cms_collisions_overcount_small_width(spark):
+    """Width 2 forces collisions: totals are conserved per row and some
+    term must overcount (pigeonhole on >2 distinct terms)."""
+    from pyspark.sql import functions as F
+
+    from websearchengine_spark.operators import corpus_stats
+
+    docs = spark.createDataFrame(
+        [(0, "aa bb cc dd aa"), (1, "aa ee ff gg")],
+        "doc_id long, text string",
+    )
+    sk = corpus_stats.cms_build(docs, width=2, depth=2)
+    per_row = {
+        r.row: r.total
+        for r in sk.groupBy("row").agg(F.sum("cnt").alias("total")).collect()
+    }
+    assert per_row == {0: 9, 1: 9}  # 9 tokens, conserved per sketch row
+    exact = (
+        docs.select(F.explode(corpus_stats._toks_clean()).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+    )
+    est = corpus_stats.cms_estimate(
+        sk, exact.select("term"), width=2, depth=2
+    )
+    joined = exact.join(est, "term").collect()
+    assert all(r.est >= r.exact_cnt for r in joined)
+    assert any(r.est > r.exact_cnt for r in joined)

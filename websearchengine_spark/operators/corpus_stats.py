@@ -529,3 +529,74 @@ def domain_cap(
         )
         .withColumn("is_kept", F.col("host_rank") <= cap)
     )
+
+
+CMS_WIDTH = 1024
+CMS_DEPTH = 4
+
+
+def _cms_buckets(term_col: F.Column, width: int, depth: int) -> F.Column:
+    """array<long> of the term's counter index per sketch row — md5-based
+    (the repo's cross-engine-stable hash family), one independent hash
+    per row via the '|d' salt."""
+    from websearchengine_spark.operators.dedup import md5_60
+
+    return F.array(
+        *[
+            F.pmod(
+                md5_60(F.concat(term_col, F.lit(f"|{d}"))), F.lit(width)
+            )
+            for d in range(depth)
+        ]
+    )
+
+
+def cms_build(
+    docs: DataFrame, width: int = CMS_WIDTH, depth: int = CMS_DEPTH
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over the corpus
+    token stream: (row, bucket, cnt) with depth x width counters.
+
+    The scale point: exact term counting shuffles one key per DISTINCT
+    term (unbounded vocabulary — at web scale the n-gram key space
+    explodes), while the sketch's shuffle is capped at depth x width
+    rows REGARDLESS of corpus size, with the classic eps = e/width
+    overcount bound.  Build is one explode + one bounded groupBy; the
+    counters are additive, so per-partition sketches merge by summing —
+    the same segment-merge property as the posting pipeline."""
+    toks = docs.select(F.explode(_toks_clean()).alias("term"))
+    return (
+        toks.select(
+            F.posexplode(
+                _cms_buckets(F.col("term"), width, depth)
+            ).alias("row", "bucket")
+        )
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    terms: DataFrame,
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+) -> DataFrame:
+    """(term, est) point estimates: min over the term's depth counters
+    (0 when a counter row is absent).  est >= true count always; the
+    join side is the bounded sketch, broadcastable at any corpus."""
+    probes = terms.select(
+        "term",
+        F.posexplode(_cms_buckets(F.col("term"), width, depth)).alias(
+            "row", "bucket"
+        ),
+    )
+    return (
+        probes.join(sketch, ["row", "bucket"], "left")
+        .groupBy("term")
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("long")
+            .alias("est")
+        )
+    )

@@ -354,6 +354,81 @@ SELECT doc_id, url, host, host_docs, host_rank,
 FROM r"""
 
 
+# ---------------------------------------------------------------------------
+# cms_heavy_hitters — count-min sketch point estimates vs exact counts
+# ---------------------------------------------------------------------------
+# The sketch path for heavy-hitter stats whose exact key space explodes
+# at corpus scale.  Gate: build the depth x width sketch over the token
+# stream, estimate the TRUE top-20 terms (exact top-k is the shared
+# candidate rule, ngram_counts tie convention), and emit
+# (term, exact_cnt, est, overcount) — the CMS guarantee est >= exact is
+# hash-checked via overcount, and every md5-salted bucket index must
+# agree across engines.
+
+CMS_TOPK = 20
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    docs = RX._docs(spark, sf_dir)
+    toks = docs.select(
+        F.explode(corpus_stats._toks_clean()).alias("term")
+    )
+    cand = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("term"))
+        .limit(CMS_TOPK)
+    )
+    sk = corpus_stats.cms_build(docs)
+    est = corpus_stats.cms_estimate(sk, cand.select("term"))
+    return cand.join(est, "term").select(
+        "term",
+        "exact_cnt",
+        "est",
+        (F.col("est") - F.col("exact_cnt")).cast("long").alias("overcount"),
+    )
+
+
+def _sql_cms_heavy_hitters() -> str:
+    w, dep = corpus_stats.CMS_WIDTH, corpus_stats.CMS_DEPTH
+
+    def bucket(expr: str, d: int) -> str:
+        return (
+            f"CAST(('0x' || substr(md5({expr} || '|{d}'), 1, 15)) AS BIGINT)"
+            f" % {w}"
+        )
+
+    probe_rows = "\n  UNION ALL\n".join(
+        f"  SELECT {d} AS row, {bucket('term', d)} AS bucket FROM tok"
+        for d in range(dep)
+    )
+    est_rows = "\n  UNION ALL\n".join(
+        f"  SELECT term, {d} AS row, {bucket('term', d)} AS bucket FROM cand"
+        for d in range(dep)
+    )
+    return f"""WITH {RX._SQL_TOKS_CTE_DOCS},
+tok AS (SELECT unnest(toks) AS term FROM t),
+exact AS (SELECT term, count(*)::BIGINT AS exact_cnt FROM tok GROUP BY term),
+cand AS (
+  SELECT term, exact_cnt FROM exact
+  ORDER BY exact_cnt DESC, term ASC LIMIT {CMS_TOPK}
+),
+probe AS (
+{probe_rows}
+),
+sk AS (SELECT row, bucket, count(*)::BIGINT AS cnt FROM probe GROUP BY 1, 2),
+ep AS (
+{est_rows}
+),
+est AS (
+  SELECT ep.term, min(coalesce(sk.cnt, 0))::BIGINT AS est
+  FROM ep LEFT JOIN sk USING (row, bucket) GROUP BY ep.term
+)
+SELECT c.term, c.exact_cnt, e.est,
+       (e.est - c.exact_cnt)::BIGINT AS overcount
+FROM cand c JOIN est e USING (term)"""
+
+
 # SQL entries may be zero-arg generator callables (resolved lazily by
 # registry.oracle_sql, exactly like ann_ivf_topk's).
 TRAINDATA_REGISTRY = {
@@ -363,4 +438,5 @@ TRAINDATA_REGISTRY = {
     "warc_roundtrip": (q_warc_roundtrip, SQL_WARC_ROUNDTRIP),
     "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
     "domain_cap": (q_domain_cap, _sql_domain_cap),
+    "cms_heavy_hitters": (q_cms_heavy_hitters, _sql_cms_heavy_hitters),
 }
