@@ -66,6 +66,7 @@ HEADLINE = [
     "warc_roundtrip",
     "line_dedup",
     "domain_cap",
+    "cms_heavy_hitters",
 ]
 
 
