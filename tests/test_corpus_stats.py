@@ -248,3 +248,55 @@ def test_cms_collisions_overcount_small_width(spark):
     joined = exact.join(est, "term").collect()
     assert all(r.est >= r.exact_cnt for r in joined)
     assert any(r.est > r.exact_cnt for r in joined)
+
+
+def test_hll_distinct_accuracy_and_determinism(spark):
+    """HLL estimate within ~5 standard errors (4096 registers -> 1.6%)
+    of the exact distinct count, and bit-identical across runs."""
+    from pyspark.sql import functions as F
+
+    from websearchengine_spark.operators import corpus_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = docs.select(F.explode(corpus_stats._toks_clean()).alias("term"))
+    exact = toks.agg(F.count_distinct("term")).head()[0]
+    e1 = corpus_stats.hll_distinct(toks).head().n_est
+    e2 = corpus_stats.hll_distinct(toks).head().n_est
+    assert e1 == e2
+    assert abs(e1 - exact) / exact < 0.08
+
+
+def test_hll_registers_bounded_and_mergeable(spark):
+    """The register relation never exceeds 2^p rows, and the union of
+    two halves' registers max-merges to the full corpus's registers —
+    the property that lets per-partition sketches compose."""
+    from pyspark.sql import functions as F
+
+    from websearchengine_spark.operators import corpus_stats
+    from websearchengine_spark.operators.dedup import md5_60
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = docs.select(
+        "doc_id", F.explode(corpus_stats._toks_clean()).alias("term")
+    )
+    p = 6
+    m = 1 << p
+
+    def regs_of(df):
+        h = md5_60(F.col("term"))
+        w = F.shiftright(h, p)
+        rho = F.when(w == 0, F.lit(60 - p + 1)).otherwise(
+            F.lit(60 - p) - F.length(F.conv(w.cast("string"), 10, 2)) + 1
+        )
+        return (
+            df.select(h.bitwiseAND(F.lit(m - 1)).alias("b"), rho.alias("r"))
+            .groupBy("b")
+            .agg(F.max("r").alias("mx"))
+        )
+
+    full = {r.b: r.mx for r in regs_of(toks).collect()}
+    assert len(full) <= m
+    a = {r.b: r.mx for r in regs_of(toks.where("doc_id % 2 = 0")).collect()}
+    b = {r.b: r.mx for r in regs_of(toks.where("doc_id % 2 != 0")).collect()}
+    merged = {k: max(a.get(k, 0), b.get(k, 0)) for k in set(a) | set(b)}
+    assert merged == full

@@ -600,3 +600,54 @@ def cms_estimate(
             .alias("est")
         )
     )
+
+
+HLL_P = 12  # 4096 registers -> ~1.6% standard error
+
+
+def hll_alpha(m: int) -> float:
+    """Bias-correction constant (Flajolet et al. 2007) for m >= 128."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_distinct(
+    df: DataFrame, col: str = "term", p: int = HLL_P
+) -> DataFrame:
+    """HyperLogLog distinct-count estimate over a string column: one row
+    (n_est).  The CMS companion for the other unbounded-key statistic —
+    distinct tokens / urls / fingerprints at corpus scale without a
+    count_distinct's full key shuffle.
+
+    Layout on the repo's 60-bit md5 hash: low p bits pick the register,
+    the remaining 60-p bits feed rho = leading-zero-count + 1 (bit
+    length via base-2 string conv — minimal-form on both engines, so the
+    DuckDB oracle is expression-for-expression identical).  Shuffle is
+    capped at 2^p register rows; absent registers enter the harmonic
+    sum as 2^0 and drive the small-range linear-counting branch.
+    Registers merge by max, so per-partition sketches compose like the
+    CMS counters.  Estimate is rounded to 4 dp (the double noise of a
+    4096-term power-of-two sum is ~1e-13 relative)."""
+    from websearchengine_spark.operators.dedup import md5_60
+
+    m = 1 << p
+    window = 60 - p
+    h = md5_60(F.col(col))
+    w = F.shiftright(h, p)
+    rho = F.when(w == 0, F.lit(window + 1)).otherwise(
+        F.lit(window) - F.length(F.conv(w.cast("string"), 10, 2)) + 1
+    )
+    regs = (
+        df.select(h.bitwiseAND(F.lit(m - 1)).alias("b"), rho.alias("rho"))
+        .groupBy("b")
+        .agg(F.max("rho").alias("mx"))
+    )
+    agg = regs.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mx"))).alias("s"),
+        F.count(F.lit(1)).alias("nz"),
+    )
+    e = F.lit(hll_alpha(m) * m * m) / (F.col("s") + (F.lit(m) - F.col("nz")))
+    v = F.lit(m) - F.col("nz")
+    est = F.when(
+        (e <= 2.5 * m) & (v > 0), F.lit(m) * F.log(F.lit(float(m)) / v)
+    ).otherwise(e)
+    return agg.select(F.round(est, 4).alias("n_est"))

@@ -429,6 +429,53 @@ SELECT c.term, c.exact_cnt, e.est,
 FROM cand c JOIN est e USING (term)"""
 
 
+# ---------------------------------------------------------------------------
+# hll_distinct — HyperLogLog distinct-token estimate vs exact
+# ---------------------------------------------------------------------------
+
+
+def q_hll_distinct(spark, sf_dir):
+    toks = RX._docs(spark, sf_dir).select(
+        F.explode(corpus_stats._toks_clean()).alias("term")
+    )
+    est = corpus_stats.hll_distinct(toks)
+    exact = toks.agg(
+        F.count_distinct("term").cast("long").alias("n_exact")
+    )
+    return exact.crossJoin(est)
+
+
+def _sql_hll_distinct() -> str:
+    p = corpus_stats.HLL_P
+    m = 1 << p
+    window = 60 - p
+    alpha = corpus_stats.hll_alpha(m)
+    return f"""WITH {RX._SQL_TOKS_CTE_DOCS},
+tok AS (SELECT unnest(toks) AS term FROM t),
+hh AS (
+  SELECT CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) AS h FROM tok
+),
+r AS (
+  SELECT h & {m - 1} AS b,
+         CASE WHEN (h >> {p}) = 0 THEN {window + 1}
+              ELSE {window} - length(bin(h >> {p})) + 1 END AS rho
+  FROM hh
+),
+regs AS (SELECT b, max(rho) AS mx FROM r GROUP BY b),
+agg AS (
+  SELECT sum(power(2.0, -mx)) AS s, count(*)::BIGINT AS nz FROM regs
+),
+e0 AS (
+  SELECT {alpha!r}::DOUBLE * {m} * {m} / (s + ({m} - nz)) AS e,
+         ({m} - nz) AS v
+  FROM agg
+)
+SELECT (SELECT count(DISTINCT term) FROM tok)::BIGINT AS n_exact,
+       round(CASE WHEN e <= 2.5 * {m} AND v > 0
+                  THEN {m} * ln({m}::DOUBLE / v) ELSE e END, 4) AS n_est
+FROM e0"""
+
+
 # SQL entries may be zero-arg generator callables (resolved lazily by
 # registry.oracle_sql, exactly like ann_ivf_topk's).
 TRAINDATA_REGISTRY = {
@@ -439,4 +486,5 @@ TRAINDATA_REGISTRY = {
     "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
     "domain_cap": (q_domain_cap, _sql_domain_cap),
     "cms_heavy_hitters": (q_cms_heavy_hitters, _sql_cms_heavy_hitters),
+    "hll_distinct": (q_hll_distinct, _sql_hll_distinct),
 }
