@@ -67,6 +67,7 @@ HEADLINE = [
     "line_dedup",
     "domain_cap",
     "cms_heavy_hitters",
+    "hll_distinct",
 ]
 
 
