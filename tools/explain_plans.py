@@ -119,6 +119,19 @@ def main() -> None:
         print("=" * 72)
         corpus_stats.bigram_lm_scores(docs_raw).explain("formatted")
 
+        print("=" * 72)
+        print("9. Sketches (expect ONE bounded partial/final aggregate pair")
+        print("   each: CMS <= depth*width rows, HLL <= 2^p register rows)")
+        print("=" * 72)
+        corpus_stats.cms_build(docs_raw).explain("formatted")
+        from pyspark.sql import functions as FF
+
+        corpus_stats.hll_distinct(
+            docs_raw.select(
+                FF.explode(corpus_stats._toks_clean()).alias("term")
+            )
+        ).explain("formatted")
+
     spark.stop()
 
 
