@@ -184,6 +184,57 @@ def test_bigram_lm_heldout_oov_fallback(spark):
     assert abs(r.ppl - 4.0) < 1e-9
 
 
+def test_bigram_lm_heldout_seen_context_unseen_bigram(spark):
+    """Held-out add-alpha semantics: an unseen bigram whose CONTEXT is in
+    training scores ln(alpha/(C(u)+alpha*V)), not the uniform ln(1/V) —
+    train corpus: V=4, C(a)=3, C(b)=2 (test_bigram_lm_hand_case counts).
+    Doc 'a x b q' has bigrams (a x): unseen pair, seen context a ->
+    ln(1/(3+4)); (x b): context x unseen in training? x IS in training
+    vocab but never as a context (doc 'x' has no bigrams) -> ln(1/4);
+    (b q): unseen pair, seen context b -> ln(1/(2+4))."""
+    import math
+
+    from websearchengine_spark.operators import corpus_stats
+
+    train = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c"), (2, "x")],
+        "doc_id long, text string",
+    )
+    score = spark.createDataFrame(
+        [(9, "a x b q")], "doc_id long, text string"
+    )
+    r = corpus_stats.bigram_lm_scores(score, train_docs=train).collect()[0]
+    assert r.n_bigrams == 3
+    m = (math.log(1 / 7) + math.log(1 / 4) + math.log(1 / 6)) / 3
+    assert abs(r.avg_logprob - round(m, 6)) < 1e-9
+    assert abs(r.ppl - round(math.exp(-m), 4)) < 1e-9
+
+
+def test_bigram_lm_heldout_conditional_normalizes(spark):
+    """P(.|u) sums to 1 over the training vocabulary for a seen context:
+    sum over seen pairs of (C(u,v)+1)/(C(u)+V) plus (V - n_seen) copies
+    of 1/(C(u)+V) == 1.  Checked numerically via the engine's scores for
+    context 'a' (seen pairs: only 'a b', C=3): a doc enumerating every
+    (a, v) bigram must have exp(logp) summing to 1."""
+    import math
+
+    from websearchengine_spark.operators import corpus_stats
+
+    train = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c"), (2, "x")],
+        "doc_id long, text string",
+    )
+    # one doc per (a, v) bigram so each row's avg_logprob IS that
+    # bigram's logp (vocab = a b c x)
+    score = spark.createDataFrame(
+        [(10, "a a"), (11, "a b"), (12, "a c"), (13, "a x")],
+        "doc_id long, text string",
+    )
+    out = corpus_stats.bigram_lm_scores(score, train_docs=train).collect()
+    total = sum(math.exp(r.avg_logprob) for r in out)
+    assert abs(total - 1.0) < 1e-5
+
+
 def test_bigram_lm_self_scores_repetitive_low(spark):
     """The filter's point: a repetitive doc is more predictable under
     the corpus LM than a token-soup doc of the same length."""

@@ -6,7 +6,11 @@ Runs every ``queries()[name]`` on Spark and the matching
 row count, column-name set, and an order-insensitive value hash (rows sorted
 by all columns, floats pre-rounded by the queries themselves).
 
-Usage: python tools/check_correctness.py [sf_dir] [name ...]
+Usage: python tools/check_correctness.py [--out FILE] [sf_dir] [name ...]
+
+``--out FILE`` additionally writes the full per-gate result map as a
+JSON artifact (committed per round as CORRECTNESS_LOCAL.json so
+registry-vs-driver-artifact drift is visible in-repo).
 """
 
 from __future__ import annotations
@@ -44,8 +48,13 @@ def normalize(v):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    out_path = None
+    if args and args[0] == "--out":
+        out_path = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
     from websearchengine_spark.session import get_spark
@@ -113,6 +122,19 @@ def main():
 
     n_bad = sum(1 for v in results.values() if v["status"] in ("MISMATCH", "ERROR"))
     print(json.dumps({"total": len(results), "bad": n_bad}))
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "total": len(results),
+                    "bad": n_bad,
+                    "gates": results,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
     spark.stop()
     sys.exit(1 if n_bad else 0)
 

@@ -60,91 +60,34 @@ def cmd_pipeline(args) -> None:
 
     Writes the surviving corpus (doc_id, url, text, n_tokens, bin_id)
     as parquet plus a per-stage attrition report (out/report.json, also
-    printed as one JSON line).  Every stage is one of the gated
-    operators; the driver only ever sees per-stage COUNTS."""
+    printed as one JSON line).  The composition lives in
+    operators/pipeline.run_pipeline (gated end-to-end by the
+    pipeline_report oracle); every stage is one of the gated operators
+    and the driver only ever sees per-stage COUNTS."""
     from pyspark.sql import functions as F
 
-    from websearchengine_spark.operators import corpus_stats, dedup, indexer
-    from websearchengine_spark.operators import pii as pii_op
+    from websearchengine_spark.operators import indexer
+    from websearchengine_spark.operators import pipeline as pipeline_op
 
     spark = _spark(args.cpus)
     corpus = _load_corpus(spark, args.corpus, args.format)
     if args.lang and "lang" in corpus.columns:
         corpus = corpus.where(F.col("lang") == args.lang)
+    docs = indexer.assign_doc_ids(corpus.select("url", "text"))
     report: dict = {}
-    docs = indexer.assign_doc_ids(corpus.select("url", "text")).persist()
-    report["docs_in"] = docs.count()
-
-    # 1. boilerplate line removal (CCNet line dedup)
-    clean = corpus_stats.line_dedup(docs, args.boilerplate_min_docs)
-    docs = (
-        docs.join(clean.select("doc_id", "text_clean"), "doc_id")
-        .select("doc_id", "url", F.col("text_clean").alias("text"))
+    out_df = pipeline_op.run_pipeline(
+        docs,
+        boilerplate_min_docs=args.boilerplate_min_docs,
+        minhash_threshold=args.minhash_threshold,
+        max_rep=args.max_rep,
+        min_tokens=args.min_tokens,
+        max_ppl=args.max_ppl,
+        budget=args.budget,
+        report=report,
     )
-
-    # 2. PII scrub (map-side; rides the same pass as the dedup below)
-    red = pii_op.pii_redact(docs)
-    docs = (
-        docs.drop("text")
-        .join(red.select("doc_id", "redacted", "n_pii"), "doc_id")
-        .withColumnRenamed("redacted", "text")
-        .persist()
-    )
-    report["docs_with_pii"] = docs.where(F.col("n_pii") > 0).count()
-
-    # 3. exact dedup (normalized-text md5, keep lowest doc_id)
-    wf = docs.withColumn("fp", dedup.exact_fp_col())
-    canon = wf.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
-    docs2 = (
-        wf.join(canon, "fp")
-        .where(F.col("doc_id") == F.col("keep_id"))
-        .select("doc_id", "url", "text")
-        .persist()
-    )
-    report["after_exact_dedup"] = docs2.count()
-    docs.unpersist()
-
-    # 4. near-dup cluster dedup (MinHash-LSH -> verify -> components)
-    nd = dedup.dedup_clusters(docs2, args.minhash_threshold)
-    docs3 = (
-        docs2.join(nd.where(F.col("is_kept")).select("doc_id"), "doc_id")
-        .persist()
-    )
-    report["after_near_dedup"] = docs3.count()
-    docs2.unpersist()
-
-    # 5. quality filters
-    rep = corpus_stats.repetition_scores(docs3)
-    qual = (
-        docs3.join(rep.select("doc_id", "rep_score"), "doc_id")
-        .withColumn(
-            "n_tokens",
-            F.size(
-                F.filter(dedup.tokens_col(), lambda x: x != F.lit(""))
-            ).cast("long"),
-        )
-    )
-    cond = (F.col("rep_score") <= args.max_rep) & (
-        F.col("n_tokens") >= args.min_tokens
-    )
-    if args.max_ppl is not None:
-        lm = corpus_stats.bigram_lm_scores(docs3)
-        qual = qual.join(lm.select("doc_id", "ppl"), "doc_id")
-        cond = cond & (F.col("ppl") <= args.max_ppl)
-    docs4 = qual.where(cond).select(
-        "doc_id", "url", "text", "n_tokens"
-    ).persist()
-    report["after_quality"] = docs4.count()
-    docs3.unpersist()
-
-    # 6. token-budget packing
-    packed = corpus_stats.sequence_pack(
-        docs4.select("doc_id", "text"), args.budget
-    )
-    out_df = docs4.join(packed.select("doc_id", "bin_id"), "doc_id")
     out_path = os.path.join(args.out, "corpus")
     out_df.write.mode("overwrite").parquet(out_path)
-    report["n_bins"] = out_df.select("bin_id").distinct().count()
+    out_df.unpersist()
     report["out"] = out_path
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "report.json"), "w") as f:

@@ -372,10 +372,14 @@ def bigram_lm_scores(
 
     Model: P(v|u) = (C(u,v) + alpha) / (C(u) + alpha * V), with C from
     the training corpus, C(u) = sum_v C(u,v), and V = training vocabulary
-    size.  A bigram whose context never occurs in training scores the
-    uniform fallback ln(1/V).  Doc score = mean ln P over its bigrams;
-    ppl = exp(-mean).  Returns (doc_id, n_bigrams, avg_logprob, ppl)
-    for EVERY doc (short docs: 0 bigrams, 0.0 scores).
+    size.  Held-out scoring honors the add-alpha model exactly: a bigram
+    absent from training whose context u IS in training scores
+    ln(alpha / (C(u) + alpha*V)) (the smoothed unseen-pair mass — so
+    P(.|u) still normalizes); only a bigram whose context never occurs
+    in training falls back to the uniform ln(1/V).  Doc score = mean
+    ln P over its bigrams; ppl = exp(-mean).  Returns (doc_id,
+    n_bigrams, avg_logprob, ppl) for EVERY doc (short docs: 0 bigrams,
+    0.0 scores).
 
     Scale shape: bigram generation is the map-side ``ngrams_col``
     transform; model counts are two key-bounded aggregations (distinct
@@ -413,12 +417,29 @@ def bigram_lm_scores(
         )
     )
     grams = docs.select("doc_id", F.explode(ngrams_col(2)).alias("bg"))
+    # two-level fallback: (1) seen bigram -> its smoothed logp; (2) unseen
+    # bigram, seen context -> ln(alpha/(C(u)+alpha*V)) via a second left
+    # join on the context token (null middle arm falls through coalesce);
+    # (3) unseen context -> uniform ln(1/V).  Self-scoring never leaves
+    # level 1, so the gated path is unchanged.
     per = (
         grams.join(probs, "bg", "left")
+        .join(
+            ctx.withColumnRenamed("u", "_ctx_u"),
+            F.split(F.col("bg"), " ")[0] == F.col("_ctx_u"),
+            "left",
+        )
         .crossJoin(F.broadcast(voc))
         .select(
             "doc_id",
-            F.coalesce(F.col("logp"), -F.log(F.col("v"))).alias("logp"),
+            F.coalesce(
+                F.col("logp"),
+                F.log(
+                    F.lit(alpha)
+                    / (F.col("c_u") + F.lit(alpha) * F.col("v"))
+                ),
+                -F.log(F.col("v")),
+            ).alias("logp"),
         )
         .groupBy("doc_id")
         .agg(

@@ -448,9 +448,12 @@ def semantic_dedup(
     going quadratic — same policy as the LSH ``max_bucket`` guard.
 
     Returns one row PER INPUT VECTOR:
-      (vec_id, cluster, n_cluster, max_sim_lower, is_kept)
+      (vec_id, cluster, n_cluster, max_sim_lower, is_kept, paired)
     with max_sim_lower = best >=threshold cosine to a lower-id
-    cluster-mate (0.0 when none) and is_kept = no such mate.
+    cluster-mate (0.0 when none), is_kept = no such mate, and
+    paired = whether the vector's cluster actually ran the pairwise
+    stage (n_cluster <= max_cluster) — paired=false rows are kept by
+    the skew guard, not verified unique.
     """
     if centroids is None:
         centroids = ivf_train(embeddings, n_centroids, iters, seed)
@@ -479,5 +482,6 @@ def semantic_dedup(
                 "max_sim_lower"
             ),
             F.col("max_sim_lower").isNull().alias("is_kept"),
+            (F.col("n_cluster") <= F.lit(max_cluster)).alias("paired"),
         )
     )

@@ -579,6 +579,7 @@ def _full_registry() -> dict[str, tuple[Callable, str | None]]:
     from websearchengine_spark.plans import (
         registry_ads,
         registry_ext,
+        registry_pipeline,
         registry_rankers,
         registry_ref,
         registry_traindata,
@@ -593,6 +594,7 @@ def _full_registry() -> dict[str, tuple[Callable, str | None]]:
         **registry_rankers.RANKERS_REGISTRY,
         **registry_webdata.WEBDATA_REGISTRY,
         **registry_traindata.TRAINDATA_REGISTRY,
+        **registry_pipeline.PIPELINE_REGISTRY,
     }
 
 

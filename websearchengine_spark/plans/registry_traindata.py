@@ -108,7 +108,8 @@ dup AS (
 )
 SELECT a.vec_id, a.cluster, sz.n_cluster,
        coalesce(d.max_sim_lower, 0.0) AS max_sim_lower,
-       (d.vec_id IS NULL) AS is_kept
+       (d.vec_id IS NULL) AS is_kept,
+       (sz.n_cluster <= {similarity.SEMDEDUP_MAX_CLUSTER}) AS paired
 FROM a JOIN sz USING (cluster) LEFT JOIN dup d USING (vec_id)"""
 
 
