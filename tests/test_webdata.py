@@ -251,3 +251,36 @@ def test_domain_cap_hand_case(spark):
     assert [out[i].is_kept for i in (1, 2, 3)] == [True, True, False]
     assert all(out[i].host_docs == 3 for i in (1, 2, 3))
     assert out[7].host == "small.example" and out[7].is_kept
+
+
+def test_domain_cap_skewed_host_bucketed_rank(spark):
+    """The over-cap path must produce exact global ranks even when one
+    host dominates and its rows span many percentile buckets — and the
+    plan must not contain a window partitioned by host ALONE over the
+    over-cap rows (the straggler shape the two-level scheme exists to
+    avoid; host windows only appear bounded: under-cap rows <= cap, the
+    offset roll-up <= n_parts rows per host)."""
+    from pyspark.sql import functions as F
+
+    from websearchengine_spark.operators import corpus_stats
+
+    rows = [(i, f"https://trap.example/{i}") for i in range(0, 500, 1)]
+    rows += [(1000 + i, f"https://ok.example/{i}") for i in range(3)]
+    pages = spark.createDataFrame(rows, "doc_id long, url string")
+    out = corpus_stats.domain_cap(pages, cap=10, n_parts=8)
+    got = {r.doc_id: r for r in out.collect()}
+    assert len(got) == 503
+    # exact dense ranks on the skewed host, in doc_id order
+    for i in range(500):
+        assert got[i].host_rank == i + 1
+        assert got[i].is_kept == (i < 10)
+        assert got[i].host_docs == 500
+    for i in range(3):
+        assert got[1000 + i].host_rank == i + 1 and got[1000 + i].is_kept
+    # kept set == the cap lowest doc_ids per host
+    kept = out.where("is_kept").groupBy("host").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    assert {r.host: r.n for r in kept.collect()} == {
+        "trap.example": 10, "ok.example": 3,
+    }

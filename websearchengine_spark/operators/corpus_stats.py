@@ -522,33 +522,106 @@ def line_dedup(docs: DataFrame, min_docs: int = 5) -> DataFrame:
 
 
 def domain_cap(
-    pages: DataFrame, cap: int = 100, url_col: str = "url"
+    pages: DataFrame,
+    cap: int = 100,
+    url_col: str = "url",
+    n_parts: int | None = None,
 ) -> DataFrame:
     """Per-domain contribution cap: keep at most ``cap`` docs per host
     (lowest doc_id first — deterministic), the standard guard against a
     single crawler-trap domain dominating a training mix.
 
     Returns (doc_id, url, host, host_docs, host_rank, is_kept) for every
-    page.  One shuffle: rank and count come from the same window over
-    the host key; at web scale hosts are the natural partition key and
-    the heavy tail (few mega-hosts) is exactly what AQE skew-split
-    handles — no host's rows need to fit in memory, only sort."""
+    page.
+
+    Skew shape: a host window CANNOT be AQE-skew-split (AQE splits
+    skewed JOIN partitions; a window partition is atomic), so a naive
+    ``Window.partitionBy(host)`` turns a crawler-trap host with 10^8
+    pages into one straggler task.  This implementation bounds every
+    per-task group instead:
+
+    - hosts at or under the cap (the overwhelming majority) rank via a
+      host window whose partitions are <= ``cap`` rows BY CONSTRUCTION —
+      no mega-partition can exist on this side;
+    - over-cap hosts rank via a two-level prefix scheme (the
+      sequence_pack pattern): doc_ids bucket by global percentile
+      boundaries computed once and embedded as LITERALS (both passes see
+      identical buckets), per-(host, bucket) counts roll up into
+      exclusive prefix offsets through a window whose partitions are
+      <= ``n_parts`` rows per host, and the final rank is that offset
+      plus a row_number over (host, bucket) — a group bounded by the
+      GLOBAL bucket size ~N/n_parts regardless of how big the host is.
+
+    Everything stays JVM-side codegen; the only driver traffic is the
+    percentile-boundary literal list (n_parts - 1 longs)."""
     from pyspark.sql import Window
 
     from websearchengine_spark.functions.urlnorm import host_of
 
-    w = Window.partitionBy("host").orderBy("doc_id")
-    wall = Window.partitionBy("host")
-    return (
-        pages.select("doc_id", url_col)
-        .withColumn("host", host_of(url_col))
-        .withColumn(
-            "host_rank", F.row_number().over(w).cast("long")
+    spark = pages.sparkSession
+    base = pages.select("doc_id", url_col).withColumn(
+        "host", host_of(url_col)
+    )
+    counts = base.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("host_docs")
+    )
+    j = base.join(counts, "host")
+    under = j.where(F.col("host_docs") <= cap)
+    over = j.where(F.col("host_docs") > cap)
+
+    # under-cap hosts: window partitions bounded by cap
+    w_small = Window.partitionBy("host").orderBy("doc_id")
+    small = under.withColumn(
+        "host_rank", F.row_number().over(w_small).cast("long")
+    )
+
+    # over-cap hosts: percentile-bucketed distributed prefix rank
+    if n_parts is None:
+        n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    qs = [i / n_parts for i in range(1, n_parts)]
+    brow = over.select(F.percentile_approx("doc_id", qs).alias("b")).head()
+    bounds = sorted(
+        {int(b) for b in (brow.b or []) if b is not None}
+    ) if brow else []
+    if bounds:
+        barr = F.array(*[F.lit(b).cast("long") for b in bounds])
+        pid = F.aggregate(
+            barr,
+            F.lit(0),
+            lambda acc, b: acc
+            + F.when(F.col("doc_id") > b, F.lit(1)).otherwise(F.lit(0)),
         )
+    else:
+        pid = F.lit(0)
+    overp = over.withColumn("pid", pid.cast("int"))
+    cnts = overp.groupBy("host", "pid").agg(F.count(F.lit(1)).alias("n"))
+    w_off = (
+        Window.partitionBy("host")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = cnts.select(
+        "host",
+        "pid",
+        F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("off"),
+    )
+    w_loc = Window.partitionBy("host", "pid").orderBy("doc_id")
+    big = (
+        overp.join(offs, ["host", "pid"])
         .withColumn(
-            "host_docs", F.count(F.lit(1)).over(wall).cast("long")
+            "host_rank",
+            (F.col("off") + F.row_number().over(w_loc)).cast("long"),
         )
-        .withColumn("is_kept", F.col("host_rank") <= cap)
+        .drop("pid", "off")
+    )
+
+    return small.unionByName(big).select(
+        "doc_id",
+        url_col,
+        "host",
+        "host_docs",
+        "host_rank",
+        (F.col("host_rank") <= cap).alias("is_kept"),
     )
 
 
