@@ -221,8 +221,13 @@ def main() -> None:
     # (IndexerInvertedCompressed serve maps); the dict compiles per-query
     # idf into literals -> zero joins, one Spark job per query
     stats_map = {r.term: r.df for r in indexer.term_stats(cached).collect()}
-    lat = []
     queries = ["spark join", "data table", "hash merge sort", "query plan"]
+    # serve metrics use the SAME interleaved best-of-N methodology as the
+    # batch suite (round-3 verdict; extended to the serve loops per the
+    # round-4 verdict): the per-iteration latency is the min across
+    # passes, raw per-pass values ride in serve_trials so run-to-run
+    # deltas separate plan changes from shared-host neighbor noise
+    serve_trials: dict[str, list] = {}
     # plan-compilation warmup so p95 reflects steady-state serve latency
     _warm_tokens, _warm_words, _ = Q.split_tokens(queries[0])
     S.topk(
@@ -232,22 +237,30 @@ def main() -> None:
         ),
         10,
     ).collect()
-    for i in range(20):
-        q = queries[i % len(queries)]
+
+    def _bm25_once(q: str) -> None:
         tokens, words, _ = Q.split_tokens(q)
         tp = Q.word_token_postings(cached, words)
-        t0 = time.time()
         S.topk(
             S.bm25_scores(
                 tp, tokens, n_docs, avgdl, "conjunctive", stats_map
             ),
             10,
         ).collect()
-        lat.append(time.time() - t0)
-    lat.sort()
+
+    bm25_passes = [[], []]
+    for pass_lat in bm25_passes:
+        for i in range(20):
+            t0 = time.time()
+            _bm25_once(queries[i % len(queries)])
+            pass_lat.append(time.time() - t0)
+    lat = sorted(min(ts) for ts in zip(*bm25_passes))
     p95 = lat[max(0, int(len(lat) * 0.95) - 1)]
     times["bm25_query_p50"] = round(lat[len(lat) // 2], 3)
     times["bm25_query_p95"] = round(p95, 3)
+    serve_trials["bm25"] = [
+        [round(t, 3) for t in p] for p in bm25_passes
+    ]
 
     # --- WAND segment-path latency (the at-scale serve path); the
     # segment cache keeps 2x width — WAND's decode pass is CPU-bound
@@ -263,27 +276,34 @@ def main() -> None:
         .agg(F.count_distinct("chunk").alias("n"))
         .collect()
     }
-    wlat = []
-    for i in range(8):
-        q = queries[i % len(queries)]
-        _, words, _ = Q.split_tokens(q)
-        t0 = time.time()
-        W.bm25_topk_segments(
-            segs_cached, words, n_docs, avgdl, k=10, mode="conjunctive",
-            term_df=stats_map, eager=True, term_chunks=chunk_map,
-        ).collect()
-        wlat.append(time.time() - t0)
-    wlat.sort()
+    wand_passes = [[], []]
+    for pass_lat in wand_passes:
+        for i in range(8):
+            q = queries[i % len(queries)]
+            _, words, _ = Q.split_tokens(q)
+            t0 = time.time()
+            W.bm25_topk_segments(
+                segs_cached, words, n_docs, avgdl, k=10,
+                mode="conjunctive", term_df=stats_map, eager=True,
+                term_chunks=chunk_map,
+            ).collect()
+            pass_lat.append(time.time() - t0)
+    wlat = sorted(min(ts) for ts in zip(*wand_passes))
     times["wand_query_p50"] = round(wlat[len(wlat) // 2], 3)
     times["wand_query_p95"] = round(
         wlat[max(0, int(len(wlat) * 0.95) - 1)], 3
     )
-    # --- phrase serve-path A/B: full positional decode vs chunk-pruned
-    # (Q.token_postings_from_segments).  Honest caveat: the sf0.1 documents
-    # vocabulary is 31 terms each in ~78% of docs, so every chunk holds
-    # phrase candidates and pruning cannot skip here — the numbers measure
-    # the pruned plan's overhead at worst-case density; the actual
-    # chunk-skipping win is pytest-gated on sparse data
+    serve_trials["wand"] = [
+        [round(t, 3) for t in p] for p in wand_passes
+    ]
+    # --- phrase serve-path A/B: full positional decode vs the serve
+    # path (Q.token_postings_from_segments WITH the sidecar chunk map).
+    # The sf0.1 corpus is dense (31-term vocabulary, every chunk holds
+    # every phrase word), so the metadata prune cannot skip anything
+    # here and the cost model elects the single-pass plan — the A/B
+    # verifies the serve path never pays the prune's job overhead on a
+    # corpus where it can't win; the actual chunk-skipping win is
+    # pytest-gated on sparse data
     # (tests/test_wand.py::test_phrase_pruned_segments_match_full_decode).
     pq = '"spark join"'
     ptokens, _, pphrases = Q.split_tokens(pq)
@@ -298,11 +318,15 @@ def main() -> None:
         S.rank_bm25(full_post, pq, n_docs, avgdl, k=10).collect()
         flat.append(time.time() - t0)
         t0 = time.time()
-        tp = Q.token_postings_from_segments(segs_cached, pq)
+        tp = Q.token_postings_from_segments(
+            segs_cached, pq, term_chunks=chunk_map
+        )
         S.topk(S.bm25_scores(tp, ptokens, n_docs, avgdl), 10).collect()
         plat.append(time.time() - t0)
     times["phrase_full_p50"] = round(sorted(flat)[1], 3)
     times["phrase_pruned_p50"] = round(sorted(plat)[1], 3)
+    serve_trials["phrase_full"] = [round(t, 3) for t in flat]
+    serve_trials["phrase_pruned"] = [round(t, 3) for t in plat]
 
     # --- multimodal feature extraction: real decode (BMP/PNG/JPEG/WAV/y4m)
     # map-side via mapInPandas; count() executes the full UDF (Python runs
@@ -315,6 +339,23 @@ def main() -> None:
     MM.extract_features(media).count()
     mm_sec = time.time() - t0
     times["multimodal_features"] = round(mm_sec, 3)
+    # per-kind decode throughput (round-4 verdict: media_rows_per_sec
+    # moved 429 -> 266 when the codec mix got heavier, and a single
+    # aggregate can't separate a codec regression from a mix change) —
+    # one timed pass per mime so BENCH rounds are comparable per codec
+    media_per_mime = {}
+    for mime_row in media.select("mime").distinct().collect():
+        sub = media.where(F.col("mime") == mime_row.mime).cache()
+        n_sub = sub.count()
+        t0 = time.time()
+        MM.extract_features(sub).count()
+        dt = time.time() - t0
+        media_per_mime[mime_row.mime] = {
+            "rows": n_sub,
+            "sec": round(dt, 3),
+            "rows_per_sec": round(n_sub / dt, 1) if dt > 0 else None,
+        }
+        sub.unpersist()
     media.unpersist()
 
     cached.unpersist()
@@ -340,9 +381,11 @@ def main() -> None:
                 "media_rows_per_sec": round(n_media / mm_sec, 1)
                 if mm_sec > 0
                 else None,
+                "media_per_mime": media_per_mime,
                 "cpus": CPUS,
                 "bench_trials": n_trials,
                 "trials": trials,
+                "serve_trials": serve_trials,
             }
         )
     )

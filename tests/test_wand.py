@@ -238,3 +238,30 @@ def test_cost_based_prune_skip(spark, spark_index, seg_index):
     assert [(r.doc_id, round(r.score, 9)) for r in got_auto] == [
         (r.doc_id, round(r.score, 9)) for r in got_pruned
     ]
+
+
+def test_phrase_cost_based_prune_skip(spark, spark_index, seg_index):
+    """Phrase serve path (Q.token_postings_from_segments) mirrors WAND's
+    cost model: a tiny summed chunk count skips the metadata
+    aggregation + semi-join (the plan has no Aggregate below the
+    decode), a large count keeps the pruned plan, and both rank
+    identically to the no-sidecar default."""
+    segs, avgdl = seg_index
+    n = spark_index["num_docs"]
+    q = '"data mining"'
+    tokens, _, phrases = Q.split_tokens(q)
+    pwords = sorted({w for p in phrases for w in p.split()})
+
+    def rank(term_chunks):
+        tp = Q.token_postings_from_segments(segs, q, term_chunks=term_chunks)
+        top = score.topk(score.bm25_scores(tp, tokens, n, avgdl), 5)
+        plan = top._jdf.queryExecution().optimizedPlan().toString()
+        return [(r.doc_id, round(r.score, 9)) for r in top.collect()], plan
+
+    want, plan_default = rank(None)
+    got_skip, plan_skip = rank({t: 1 for t in pwords})
+    got_prune, plan_prune = rank({t: 10_000 for t in pwords})
+    assert got_skip == want and got_prune == want
+    # the skipped plan dropped the prune's semi-join; the forced plan kept it
+    assert "LeftSemi" not in plan_skip
+    assert "LeftSemi" in plan_prune and "LeftSemi" in plan_default

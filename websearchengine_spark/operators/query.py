@@ -95,7 +95,12 @@ def token_postings(postings: DataFrame, query: str) -> DataFrame:
     return out
 
 
-def token_postings_from_segments(segments: DataFrame, query: str) -> DataFrame:
+def token_postings_from_segments(
+    segments: DataFrame,
+    query: str,
+    term_chunks: dict[str, int] | None = None,
+    prune_min_chunks: int = 64,
+) -> DataFrame:
     """Serve-path token postings straight from compressed segments, with
     positional decode PRUNED to surviving chunks — from segment METADATA
     only, no pre-decode.
@@ -108,10 +113,19 @@ def token_postings_from_segments(segments: DataFrame, query: str) -> DataFrame:
     same doc-range chunk key WAND prunes on.  Only surviving chunks'
     segments are decoded with positions; the adjacency pre-join inside
     phrase_token_postings then applies the exact doc-level conjunctive
-    filter, so results are identical to decoding everything.  Worst-case
-    (every chunk holds all words) this degrades to the full decode plus
-    one metadata aggregation; best case (rare co-occurrence — the web
-    norm) it skips almost all pos_bytes.  Single-word tokens decode
+    filter, so results are identical to decoding everything.
+
+    ``term_chunks`` (optional {term: n_chunks} from the build-time
+    sidecar) drives the same COST-BASED plan choice as
+    wand.bm25_topk_segments: the prune is one extra metadata aggregation
+    job plus a semi-join under the decode — pure overhead when the
+    phrase's words span only a handful of chunks (decoding everything is
+    already cheap; a dense small corpus measured the always-on prune
+    SLOWER than the full decode).  When the phrase's summed chunk count
+    is <= ``prune_min_chunks``, the phrase decodes its words' segments
+    directly; results are identical by the pruned == unpruned
+    invariant.  At web scale phrase words span thousands of chunks and
+    the threshold never triggers.  Single-word tokens decode
     non-positionally."""
     from websearchengine_spark.operators import indexer
 
@@ -130,16 +144,19 @@ def token_postings_from_segments(segments: DataFrame, query: str) -> DataFrame:
         )
     for p in phrases:
         uniq = sorted(set(p.split()))
-        cand_chunks = (
-            segments.where(F.col("term").isin(uniq))
-            .groupBy("chunk")
-            .agg(F.count_distinct("term").alias("n_present"))
-            .where(F.col("n_present") == len(uniq))
-            .select("chunk")
+        pruned = segments.where(F.col("term").isin(uniq))
+        skip_prune = term_chunks is not None and (
+            sum(term_chunks.get(t, 0) for t in uniq) <= prune_min_chunks
         )
-        pruned = segments.where(F.col("term").isin(uniq)).join(
-            cand_chunks, "chunk", "left_semi"
-        )
+        if not skip_prune:
+            cand_chunks = (
+                segments.where(F.col("term").isin(uniq))
+                .groupBy("chunk")
+                .agg(F.count_distinct("term").alias("n_present"))
+                .where(F.col("n_present") == len(uniq))
+                .select("chunk")
+            )
+            pruned = pruned.join(cand_chunks, "chunk", "left_semi")
         parts.append(
             phrase_token_postings(
                 indexer.decode_segments(pruned, with_positions=True), p

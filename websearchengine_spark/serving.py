@@ -149,7 +149,15 @@ class IndexServer:
         if not tokens:
             return []
         if phrases:
-            tp = Q.token_postings_from_segments(self.segs, q)
+            # cost-based phrase prune needs chunk counts for the PHRASE
+            # words too, not just the standalone query words
+            all_words = sorted(
+                set(words) | {w for p in phrases for w in p.split()}
+            )
+            _, term_chunks = self._term_maps_for(all_words)
+            tp = Q.token_postings_from_segments(
+                self.segs, q, term_chunks=term_chunks
+            )
             out = score.topk(
                 score.bm25_scores(
                     tp,
