@@ -179,3 +179,62 @@ def test_crlf_url_rejected():
     with pytest.raises(ValueError, match="CR/LF"):
         warc._build_record(0, "https://x/\r\nWARC-Type: fake", b"b",
                            "response", warc.WARC_EPOCH)
+
+
+def test_write_leaves_no_temp_files(roundtrip):
+    """The sink's temp+atomic-rename commit: after a successful write
+    only final part-*.warc.gz files remain (a crashed attempt would
+    leave an .inprogress-* that the read glob never matches)."""
+    d, manifest, _ = roundtrip
+    names = sorted(os.path.basename(p) for p in glob.glob(os.path.join(d, "*")))
+    assert names == sorted(os.path.basename(r.path) for r in manifest)
+    assert all(n.endswith(".warc.gz") for n in names)
+
+
+def test_iter_warc_records_is_streaming():
+    """iter_warc_records frames records lazily from a file-like: records
+    arrive one at a time without the decompressed stream materializing
+    (the reader buffer stays bounded by chunk + one record)."""
+    import io
+
+    recs = b"".join(
+        gzip.compress(
+            warc._build_record(i, f"u{i}", b"x" * 100, "conversion",
+                               warc.WARC_EPOCH),
+            mtime=0,
+        )
+        for i in range(50)
+    )
+    it = warc.iter_warc_records(warc._record_stream(recs), "p")
+    first = next(it)
+    assert first["record_seq"] == 0 and first["n_payload_bytes"] == 100
+    assert [r["record_seq"] for r in it] == list(range(1, 50))
+
+
+def test_streaming_parse_batches_large_file():
+    """_parse_files emits MULTIPLE bounded Arrow batches for one file
+    with more records than _PARSE_BATCH (exercised in-process — the
+    worker-side path is identical), and the union is complete."""
+    import pandas as pd
+
+    data = b"".join(
+        gzip.compress(
+            warc._build_record(i, f"u{i}", f"body {i}".encode(),
+                               "conversion", warc.WARC_EPOCH),
+            mtime=0,
+        )
+        for i in range(40)
+    )
+    fake = [pd.DataFrame({"path": ["f.warc.gz"], "content": [data]})]
+    old = warc._PARSE_BATCH
+    warc._PARSE_BATCH = 7
+    try:
+        outs = list(warc._parse_files(fake))
+    finally:
+        warc._PARSE_BATCH = old
+    assert len(outs) == 6  # ceil(40/7)
+    assert all(len(o) <= 7 for o in outs)
+    got = pd.concat(outs)
+    assert sorted(got["payload_text"]) == sorted(
+        f"body {i}" for i in range(40)
+    )

@@ -134,11 +134,23 @@ def write_warc(
         import pandas as pd
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         path = os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
+        # task-commit protocol in miniature: stream to an attempt-unique
+        # temp name (never matched by the *.warc.gz read glob), then one
+        # atomic os.replace — a task retry or speculative attempt that
+        # dies mid-write leaves only a stale temp file, never a
+        # truncated/interleaved .warc.gz for the strict parser to choke
+        # on.  Concurrent attempts of the SAME partition each write full
+        # content and the last replace wins with identical bytes.  The
+        # final name stays deterministic (required by the byte-identity
+        # tests); like Spark's own file committers, out_dir must not be
+        # shared by two different concurrent jobs.
+        tmp = f"{path}.inprogress-{ctx.taskAttemptId()}"
         n = 0
         nb = 0
-        with open(path, "wb") as fh:
+        with open(tmp, "wb") as fh:
             for b in batches:
                 for doc_id, url, text in zip(
                     b["doc_id"], b["url"], b["text"]
@@ -165,8 +177,9 @@ def write_warc(
                     n += 1
                     nb += len(rec)
         if n == 0:
-            os.remove(path)
+            os.remove(tmp)
             return
+        os.replace(tmp, path)
         yield pd.DataFrame(
             {"path": [path], "n_records": [n], "n_bytes": [nb]}
         )
@@ -192,72 +205,140 @@ def _gunzip_members(data: bytes) -> bytes:
     return out.getvalue()
 
 
-def parse_warc_bytes(data: bytes, path: str = "") -> list[dict]:
-    """Streaming-order parse of one WARC file's bytes into record dicts
-    (RECORD_SCHEMA fields).  Framing is strictly header-driven: read
-    headers to the blank line, take exactly Content-Length payload
-    bytes, require the CRLF CRLF record separator."""
-    data = _gunzip_members(data)
-    out: list[dict] = []
-    pos = 0
+class _RecordReader:
+    """Minimal buffered reader over a binary file-like: tracks the
+    absolute (decompressed) offset consumed so parse errors report the
+    same byte positions the old whole-buffer parser did, while only
+    ever holding one chunk + one in-flight record in memory."""
+
+    CHUNK = 1 << 16
+
+    def __init__(self, fh):
+        self._fh = fh
+        self._buf = b""
+        self.offset = 0  # absolute offset of _buf[0] in the stream
+
+    def _fill(self) -> bool:
+        chunk = self._fh.read(self.CHUNK)
+        if not chunk:
+            return False
+        self._buf += chunk
+        return True
+
+    def at_eof(self) -> bool:
+        return not self._buf and not self._fill()
+
+    def read_until(self, delim: bytes) -> bytes | None:
+        """Consume and return bytes up to (excluding) ``delim``; None if
+        the stream ends first (buffer left intact for error reporting)."""
+        i = self._buf.find(delim)
+        while i < 0:
+            scan_from = max(0, len(self._buf) - len(delim) + 1)
+            if not self._fill():
+                return None
+            i = self._buf.find(delim, scan_from)
+        out = self._buf[:i]
+        self._buf = self._buf[i + len(delim):]
+        self.offset += i + len(delim)
+        return out
+
+    def read_exact(self, n: int) -> bytes:
+        while len(self._buf) < n:
+            if not self._fill():
+                break
+        out = self._buf[:n]
+        self._buf = self._buf[n:]
+        self.offset += len(out)
+        return out
+
+    def peek(self, n: int) -> bytes:
+        while len(self._buf) < n:
+            if not self._fill():
+                break
+        return self._buf[:n]
+
+
+def _record_stream(data: bytes):
+    """File-like over raw or (multi-member) gzip bytes WITHOUT
+    materializing the decompressed stream: gzip.GzipFile reads
+    concatenated members transparently and decompresses on demand."""
+    if data[:2] == b"\x1f\x8b":
+        return gzip.GzipFile(fileobj=io.BytesIO(data))
+    return io.BytesIO(data)
+
+
+def iter_warc_records(fh, path: str = ""):
+    """STREAMING parse of one WARC file from a binary file-like: yields
+    record dicts (RECORD_SCHEMA fields) as they are framed, holding at
+    most one record's payload in memory — a multi-GB decompressed file
+    never materializes.  Framing is strictly header-driven: read headers
+    to the blank line, take exactly Content-Length payload bytes,
+    require the CRLF CRLF record separator."""
+    rd = _RecordReader(fh)
     seq = 0
-    while pos < len(data):
-        if data[pos : pos + 8] != WARC_VERSION:
+    while not rd.at_eof():
+        rec_off = rd.offset
+        if rd.peek(8) != WARC_VERSION:
             raise ValueError(
-                f"{path}: expected WARC/1.0 at offset {pos}, got "
-                f"{data[pos:pos + 8]!r}"
+                f"{path}: expected WARC/1.0 at offset {rec_off}, got "
+                f"{rd.peek(8)!r}"
             )
-        hdr_end = data.index(b"\r\n\r\n", pos)
+        head = rd.read_until(b"\r\n\r\n")
+        if head is None:
+            raise ValueError(
+                f"{path}: truncated record header at offset {rec_off}"
+            )
         headers: dict[str, str] = {}
-        for line in data[pos + 10 : hdr_end].split(b"\r\n"):
+        for line in head[10:].split(b"\r\n"):  # skip "WARC/1.0\r\n"
             k, _, v = line.partition(b":")
             headers[k.strip().decode("ascii").lower()] = (
                 v.strip().decode("utf-8", "replace")
             )
         clen = int(headers["content-length"])
-        body_start = hdr_end + 4
-        payload = data[body_start : body_start + clen]
+        payload = rd.read_exact(clen)
         if len(payload) != clen:
             raise ValueError(
-                f"{path}: truncated record at offset {pos}: "
+                f"{path}: truncated record at offset {rec_off}: "
                 f"want {clen} payload bytes, have {len(payload)}"
             )
-        if data[body_start + clen : body_start + clen + 4] != b"\r\n\r\n":
+        sep_off = rd.offset
+        if rd.read_exact(4) != b"\r\n\r\n":
             raise ValueError(
-                f"{path}: missing record separator at offset "
-                f"{body_start + clen}"
+                f"{path}: missing record separator at offset {sep_off}"
             )
         wtype = headers.get("warc-type", "")
         status = None
         http_ct = None
         body = payload
         if wtype == "response" and payload[:5] == b"HTTP/":
-            head, _, body = payload.partition(b"\r\n\r\n")
-            lines = head.split(b"\r\n")
+            head_http, _, body = payload.partition(b"\r\n\r\n")
+            lines = head_http.split(b"\r\n")
             parts = lines[0].split(b" ")
             status = int(parts[1]) if len(parts) > 1 else None
             for hl in lines[1:]:
                 k, _, v = hl.partition(b":")
                 if k.strip().lower() == b"content-type":
                     http_ct = v.strip().decode("utf-8", "replace")
-        out.append(
-            {
-                "path": path,
-                "record_seq": seq,
-                "record_id": headers.get("warc-record-id", ""),
-                "warc_type": wtype,
-                "warc_date": headers.get("warc-date", ""),
-                "url": headers.get("warc-target-uri", ""),
-                "content_type": headers.get("content-type", ""),
-                "http_status": status,
-                "http_content_type": http_ct,
-                "payload_text": body.decode("utf-8", "replace"),
-                "n_payload_bytes": len(body),
-            }
-        )
-        pos = body_start + clen + 4
+        yield {
+            "path": path,
+            "record_seq": seq,
+            "record_id": headers.get("warc-record-id", ""),
+            "warc_type": wtype,
+            "warc_date": headers.get("warc-date", ""),
+            "url": headers.get("warc-target-uri", ""),
+            "content_type": headers.get("content-type", ""),
+            "http_status": status,
+            "http_content_type": http_ct,
+            "payload_text": body.decode("utf-8", "replace"),
+            "n_payload_bytes": len(body),
+        }
         seq += 1
-    return out
+
+
+def parse_warc_bytes(data: bytes, path: str = "") -> list[dict]:
+    """Whole-buffer convenience wrapper over ``iter_warc_records`` (tests
+    and small files); the Spark read path streams instead."""
+    return list(iter_warc_records(_record_stream(data), path))
 
 
 def read_warc(
@@ -268,7 +349,14 @@ def read_warc(
     parallelism is the Common Crawl layout's design point), streaming
     parse per file, records fan out as ordinary rows.  Blobs never
     shuffle: parsing happens in the scan stage, downstream operators see
-    only the extracted columns they select (column pruning applies)."""
+    only the extracted columns they select (column pruning applies).
+
+    Memory bound per task: binaryFile hands the COMPRESSED file as one
+    bytes value (that part is the source's contract — size files like
+    Common Crawl's ~1 GB), but decompression and framing are streaming
+    (gzip.GzipFile + iter_warc_records) and rows leave in
+    ``_PARSE_BATCH``-record Arrow batches, so a file's multi-GB
+    DECOMPRESSED form never materializes in the Python worker."""
     # directory + pathGlobFilter, not a glob-in-path: Spark's analysis
     # probes a literal getFileStatus on the path string first, which
     # throws on glob characters
@@ -281,15 +369,26 @@ def read_warc(
     return files.mapInPandas(_parse_files, RECORD_SCHEMA)
 
 
+# rows per emitted Arrow batch: bounds executor memory to (compressed
+# file bytes — binaryFile's contract — + one batch of parsed records +
+# one in-flight record) regardless of a file's decompressed size
+_PARSE_BATCH = 4096
+
+
 def _parse_files(batches):
     import pandas as pd
 
     for b in batches:
-        rows: list[dict] = []
         for p, content in zip(b["path"], b["content"]):
-            rows.extend(parse_warc_bytes(bytes(content), str(p)))
-        if rows:
-            yield pd.DataFrame(rows)
+            rows: list[dict] = []
+            stream = _record_stream(bytes(content))
+            for rec in iter_warc_records(stream, str(p)):
+                rows.append(rec)
+                if len(rows) >= _PARSE_BATCH:
+                    yield pd.DataFrame(rows)
+                    rows = []
+            if rows:
+                yield pd.DataFrame(rows)
 
 
 # binaryFile's fixed schema, required up front by readStream
