@@ -21,7 +21,15 @@ environment can parse bit-exactly from their public specs:
 Codecs needing real entropy/transform stacks this container cannot verify
 (MP3, MP4/H.264...) raise ``NotImplementedError`` loudly rather than fake
 an answer, as do format variants outside the supported subsets
-(arithmetic/12-bit/hierarchical JPEG, DRI-in-progressive).  Resize is a
+(arithmetic/12-bit/hierarchical JPEG, DRI-in-progressive).  MP3 Layer III
+specifically stays a rejection BY POLICY, not difficulty: a compliant
+decoder needs the ISO 11172-3 Huffman code tables and the 512-tap
+polyphase window — normative spec DATA with no closed form and no copy
+in this environment.  A from-memory reconstruction would be
+self-consistent (an encoder/decoder pair built on the same wrong tables
+round-trips perfectly) yet mis-decode every real-world file, which is
+strictly worse than the honest rejection + real header probe
+(``_probe_mp3``: frame walk, duration, CBR rate) shipped here.  Resize is a
 real nearest-neighbor
 resample (index arithmetic); features are real statistics of decoded
 pixels/samples.
