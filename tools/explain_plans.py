@@ -87,6 +87,16 @@ def main() -> None:
         )
 
         print("=" * 72)
+        print("4b. Phrase serve path, cost-based SKIP (sidecar says the")
+        print("    phrase words span only a few chunks -> single-pass")
+        print("    decode; expect NO aggregation and NO semi-join below")
+        print("    the decode UDF)")
+        print("=" * 72)
+        Q.token_postings_from_segments(
+            segs, '"data mining"', term_chunks={"data": 1, "mine": 1}
+        ).explain("formatted")
+
+        print("=" * 72)
         print("5. Corpus n-gram counts (expect map-side generate + ONE")
         print("   hash-partial/final aggregate pair, TakeOrderedAndProject)")
         print("=" * 72)
