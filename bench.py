@@ -68,6 +68,7 @@ HEADLINE = [
     "domain_cap",
     "cms_heavy_hitters",
     "hll_distinct",
+    "bloom_seen_filter",
 ]
 
 

@@ -351,3 +351,90 @@ def test_hll_registers_bounded_and_mergeable(spark):
     b = {r.b: r.mx for r in regs_of(toks.where("doc_id % 2 != 0")).collect()}
     merged = {k: max(a.get(k, 0), b.get(k, 0)) for k in set(a) | set(b)}
     assert merged == full
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every key the filter was built from probes maybe_seen=true —
+    the bloom guarantee the seen-filter's correctness rests on."""
+    from pyspark.sql import functions as F
+
+    from websearchengine_spark.operators import corpus_stats
+
+    keys = spark.range(200).select(
+        F.concat(F.lit("doc body "), F.col("id")).alias("key")
+    )
+    bloom = corpus_stats.bloom_build(keys)
+    probes = keys.select(
+        F.monotonically_increasing_id().alias("doc_id"), "key"
+    )
+    out = corpus_stats.bloom_probe(bloom, probes).collect()
+    assert len(out) == 200 and all(r.maybe_seen for r in out)
+
+
+def test_bloom_bounded_and_fp_rate(spark):
+    """The filter is <= m/64 rows regardless of history size, and at a
+    deliberately small m the deterministic false-positive rate over
+    unseen keys stays near the (1-e^(-kn/m))^k theory value."""
+    from pyspark.sql import functions as F
+
+    from websearchengine_spark.operators import corpus_stats
+
+    m, k, n = 4096, 5, 500
+    hist = spark.range(n).select(
+        F.concat(F.lit("seen "), F.col("id")).alias("key")
+    )
+    bloom = corpus_stats.bloom_build(hist, m=m, k=k)
+    assert bloom.count() <= m // 64
+    fresh = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("fresh "), F.col("id")).alias("key"),
+    )
+    out = corpus_stats.bloom_probe(bloom, fresh, m=m, k=k).collect()
+    fp = sum(1 for r in out if r.maybe_seen) / n
+    # theory ~ (1-e^(-5*500/4096))^5 ~ 0.018; deterministic seeded md5
+    assert fp < 0.1
+
+
+def test_bloom_shard_merge_equals_union_build(spark):
+    """Per-shard filters merged by bit_or(word) are EXACTLY the filter
+    built over the union — the additive-merge property that lets a
+    historical corpus build its seen-set incrementally."""
+    from pyspark.sql import functions as F
+
+    from websearchengine_spark.operators import corpus_stats
+
+    keys = spark.range(300).select(
+        F.concat(F.lit("kk "), F.col("id")).alias("key"), "id"
+    )
+    a = corpus_stats.bloom_build(keys.where(F.col("id") % 2 == 0))
+    b = corpus_stats.bloom_build(keys.where(F.col("id") % 2 == 1))
+    merged = (
+        a.unionAll(b).groupBy("word").agg(F.bit_or("bits").alias("bits"))
+    )
+    full = corpus_stats.bloom_build(keys)
+    got = {(r.word, r.bits) for r in merged.collect()}
+    want = {(r.word, r.bits) for r in full.collect()}
+    assert got == want
+
+
+def test_bloom_seen_filter_drops_planted_copies(spark):
+    """End-to-end seen filter: planted exact copies of history docs are
+    dropped with certainty; the output covers every new-batch row."""
+    from pyspark.sql import functions as F
+
+    from websearchengine_spark.operators import corpus_stats
+
+    hist = spark.createDataFrame(
+        [(i, f"history document {i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100 + i, f"brand new doc {i}") for i in range(50)]
+        + [(200 + i, f"history document {i}") for i in range(0, 50, 5)],
+        "doc_id long, text string",
+    )
+    out = corpus_stats.bloom_seen_filter(new, hist).collect()
+    assert len(out) == 60
+    by_id = {r.doc_id: r for r in out}
+    for i in range(0, 50, 5):
+        assert by_id[200 + i].maybe_seen and not by_id[200 + i].is_kept

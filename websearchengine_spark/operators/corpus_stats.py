@@ -745,3 +745,122 @@ def hll_distinct(
         (e <= 2.5 * m) & (v > 0), F.lit(m) * F.log(F.lit(float(m)) / v)
     ).otherwise(e)
     return agg.select(F.round(est, 4).alias("n_est"))
+
+
+BLOOM_M = 1 << 18  # bits (power of two; 256 Kbit -> 4096 packed longs)
+BLOOM_K = 5        # hash functions
+
+
+def _bloom_positions(key_col: F.Column, m: int, k: int) -> F.Column:
+    """array<long> of the key's k bloom bit positions — Kirsch &
+    Mitzenmacher (2006) double hashing pos_i = (h1 + i*h2) mod m with
+    h2 forced odd (so it generates the whole power-of-two ring), both
+    legs md5-derived (the repo's cross-engine-stable hash family).
+    Operands are reduced mod m BEFORE the combine, so every
+    intermediate stays < 8m and 64-bit arithmetic cannot overflow."""
+    from websearchengine_spark.operators.dedup import md5_60
+
+    h1 = F.pmod(md5_60(key_col), F.lit(m))
+    h2 = F.pmod(md5_60(F.concat(key_col, F.lit("|b"))), F.lit(m)).bitwiseOR(
+        F.lit(1)
+    )
+    return F.array(
+        *[F.pmod(h1 + F.lit(i) * h2, F.lit(m)) for i in range(k)]
+    )
+
+
+def bloom_build(
+    keys: DataFrame, col: str = "key", m: int = BLOOM_M, k: int = BLOOM_K
+) -> DataFrame:
+    """Bloom filter over a key column as a DataFrame of packed 64-bit
+    words: (word, bits), word = bit_position >> 6 — the seen-set sketch
+    for incremental recrawl dedup (has this url/doc fingerprint been
+    ingested before?) where an exact seen-set join would shuffle one row
+    per HISTORICAL key.
+
+    Scale shape (the CMS/HLL argument): the build is one map-side
+    position explode + one groupBy(word) bit_or whose exchange is
+    capped at m/64 rows REGARDLESS of history size; words with no set
+    bit are simply absent.  Filters for different history shards merge
+    by bit_or on word — the same additive-merge property as the CMS
+    counters and HLL registers.  No false negatives ever; false
+    positives at the classic (1 - e^(-kn/m))^k rate, all of them
+    deterministic here because the hash family is seeded md5."""
+    pos = keys.select(
+        F.explode(_bloom_positions(F.col(col), m, k)).alias("pos")
+    )
+    return (
+        pos.select(
+            F.shiftright(F.col("pos"), 6).alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+            .alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    docs: DataFrame,
+    col: str = "key",
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """(doc_id, maybe_seen): probe every doc's key against a built
+    filter.  maybe_seen = all k bit positions set — guaranteed true for
+    any key the filter was built from.
+
+    The probe side joins the BOUNDED filter (≤ m/64 rows, broadcast) on
+    the packed-word index and folds per doc with bool_and — one
+    broadcast hash join + one key-bounded aggregation, no shuffle of
+    the history."""
+    probes = docs.select(
+        "doc_id",
+        F.explode(_bloom_positions(F.col(col), m, k)).alias("pos"),
+    ).select(
+        "doc_id",
+        F.shiftright(F.col("pos"), 6).alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+        .alias("mask"),
+    )
+    hit = (
+        F.col("bits").isNotNull()
+        & (F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask"))
+    )
+    return (
+        probes.join(F.broadcast(bloom), "word", "left")
+        .select("doc_id", hit.alias("hit"))
+        .groupBy("doc_id")
+        .agg(F.bool_and("hit").alias("maybe_seen"))
+    )
+
+
+def bloom_seen_filter(
+    new_docs: DataFrame,
+    hist_docs: DataFrame,
+    key_expr: F.Column | None = None,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Incremental-crawl seen filter: (doc_id, maybe_seen, is_kept) for
+    every row of ``new_docs``, where is_kept = the doc's key (default:
+    raw text; pass e.g. a normalized-url column for url-seen) is
+    definitely NOT in ``hist_docs``.  Docs whose key was seen are
+    dropped with certainty (no false negatives); a deterministic
+    (1-e^(-kn/m))^k sliver of genuinely-new docs is over-dropped — the
+    standard bloom trade accepted by crawl frontiers in exchange for
+    never shuffling the history."""
+    if key_expr is None:
+        key_expr = F.col("text")
+    bloom = bloom_build(
+        hist_docs.select(key_expr.alias("key")), m=m, k=k
+    )
+    probed = bloom_probe(
+        bloom, new_docs.select("doc_id", key_expr.alias("key")), m=m, k=k
+    )
+    return probed.select(
+        "doc_id",
+        "maybe_seen",
+        (~F.col("maybe_seen")).alias("is_kept"),
+    )

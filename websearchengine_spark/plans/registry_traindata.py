@@ -477,6 +477,65 @@ SELECT (SELECT count(DISTINCT term) FROM tok)::BIGINT AS n_exact,
 FROM e0"""
 
 
+# ---------------------------------------------------------------------------
+# bloom_seen_filter — bloom-filter incremental-crawl seen-set
+# ---------------------------------------------------------------------------
+# The third bounded-exchange sketch (after CMS and HLL): a recrawl batch
+# is filtered against the HISTORICAL corpus without ever shuffling the
+# history — the filter is m/64 packed-long rows, broadcast to the probe.
+# Gate construction: history = every doc_id % 3 == 0 doc; the new batch
+# is everything else PLUS exact copies of every history doc planted at
+# doc_id + 500000.  Every planted copy must come back maybe_seen=true
+# (the no-false-negative guarantee), and any false positives among the
+# genuinely-new docs are deterministic (seeded md5 double hashing), so
+# the oracle — which re-derives the SET-BIT POSITIONS relationally
+# rather than packing words — hash-matches row for row.
+
+BLOOM_COPY_OFF = 500000
+
+
+def q_bloom_seen_filter(spark, sf_dir):
+    """history bloom -> probe (new batch + planted copies) ->
+    (doc_id, maybe_seen, is_kept)."""
+    docs = RX._docs(spark, sf_dir).select("doc_id", "text")
+    hist = docs.where(F.col("doc_id") % 3 == 0)
+    new = docs.where(F.col("doc_id") % 3 != 0).unionAll(
+        hist.select(
+            (F.col("doc_id") + F.lit(BLOOM_COPY_OFF)).alias("doc_id"),
+            "text",
+        )
+    )
+    return corpus_stats.bloom_seen_filter(new, hist)
+
+
+def _sql_bloom_seen_filter() -> str:
+    m, k = corpus_stats.BLOOM_M, corpus_stats.BLOOM_K
+    h1 = f"CAST(('0x' || substr(md5(key), 1, 15)) AS BIGINT) % {m}"
+    h2 = (
+        f"(CAST(('0x' || substr(md5(key || '|b'), 1, 15)) AS BIGINT)"
+        f" % {m}) | 1"
+    )
+    return f"""WITH hist AS (
+  SELECT text AS key FROM documents WHERE doc_id % 3 = 0
+),
+newb AS (
+  SELECT doc_id, text AS key FROM documents WHERE doc_id % 3 <> 0
+  UNION ALL
+  SELECT doc_id + {BLOOM_COPY_OFF}, text FROM documents
+  WHERE doc_id % 3 = 0
+),
+seeds AS (SELECT unnest(range({k})) AS i),
+hh AS (SELECT {h1} AS h1, {h2} AS h2 FROM hist),
+hpos AS (SELECT DISTINCT (h1 + i * h2) % {m} AS pos FROM hh, seeds),
+nh AS (SELECT doc_id, {h1} AS h1, {h2} AS h2 FROM newb),
+npos AS (SELECT doc_id, (h1 + i * h2) % {m} AS pos FROM nh, seeds),
+flag AS (
+  SELECT doc_id, bool_and(pos IN (SELECT pos FROM hpos)) AS maybe_seen
+  FROM npos GROUP BY doc_id
+)
+SELECT doc_id, maybe_seen, NOT maybe_seen AS is_kept FROM flag"""
+
+
 # SQL entries may be zero-arg generator callables (resolved lazily by
 # registry.oracle_sql, exactly like ann_ivf_topk's).
 TRAINDATA_REGISTRY = {
@@ -488,4 +547,5 @@ TRAINDATA_REGISTRY = {
     "domain_cap": (q_domain_cap, _sql_domain_cap),
     "cms_heavy_hitters": (q_cms_heavy_hitters, _sql_cms_heavy_hitters),
     "hll_distinct": (q_hll_distinct, _sql_hll_distinct),
+    "bloom_seen_filter": (q_bloom_seen_filter, _sql_bloom_seen_filter),
 }
