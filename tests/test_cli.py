@@ -352,6 +352,35 @@ def test_pipeline_from_warc(spark, tmp_path, capsys):
     assert rep["after_quality"] > 0
 
 
+def test_pipeline_seen_history_filter(spark, corpus_dir, tmp_path, capsys):
+    """--seen-history bloom-drops docs already ingested by a previous
+    run: history = half the corpus by text; those docs disappear before
+    stage 1 (no false negatives) and the attrition report gains the
+    after_seen_filter count."""
+    from pyspark.sql import functions as F
+
+    corpus = spark.read.parquet(corpus_dir).where("lang = 'en'")
+    hist_dir = str(tmp_path / "hist")
+    hist = corpus.where(F.xxhash64("url") % 2 == 0)
+    hist.write.mode("overwrite").parquet(hist_dir)
+    out = str(tmp_path / "pipe_seen")
+    cli.main([
+        "pipeline", "--corpus", corpus_dir, "--out", out,
+        "--seen-history", hist_dir,
+        "--min-tokens", "1", "--max-rep", "1.0", "--budget", "256",
+    ])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    n_all = corpus.count()
+    n_hist = hist.count()
+    assert rep["docs_in_raw"] == n_all
+    # every history doc's text is in the filter -> dropped for certain;
+    # false positives can only drop MORE, never keep a seen doc
+    # (docs_in = the pipeline's input AFTER the seen filter)
+    assert rep["docs_in"] <= n_all - n_hist
+    assert rep["docs_in"] > 0
+    assert rep["after_quality"] <= rep["docs_in"]
+
+
 def test_export_wet_roundtrip(spark, corpus_dir, tmp_path, capsys):
     """export --wet writes WET conversion records that the reader
     round-trips back to the en-filtered corpus text."""

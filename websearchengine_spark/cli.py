@@ -75,6 +75,23 @@ def cmd_pipeline(args) -> None:
         corpus = corpus.where(F.col("lang") == args.lang)
     docs = indexer.assign_doc_ids(corpus.select("url", "text"))
     report: dict = {}
+    docs_raw = None
+    if args.seen_history:
+        # incremental recrawl: stage 0 drops docs whose text was already
+        # ingested by a previous run, via the bloom seen-set — the
+        # history corpus never shuffles (bounded filter, broadcast
+        # probe); a deterministic bloom-rate sliver of genuinely-new
+        # docs is over-dropped (operators/corpus_stats.bloom_seen_filter)
+        from websearchengine_spark.operators import corpus_stats
+
+        docs_raw = docs.persist()
+        report["docs_in_raw"] = docs_raw.count()
+        hist = _load_corpus(spark, args.seen_history, "parquet")
+        kept = corpus_stats.bloom_seen_filter(docs_raw, hist)
+        docs = docs_raw.join(
+            kept.where(F.col("is_kept")).select("doc_id"), "doc_id"
+        )
+        # run_pipeline's own docs_in count doubles as after_seen_filter
     out_df = pipeline_op.run_pipeline(
         docs,
         boilerplate_min_docs=args.boilerplate_min_docs,
@@ -88,6 +105,8 @@ def cmd_pipeline(args) -> None:
     out_path = os.path.join(args.out, "corpus")
     out_df.write.mode("overwrite").parquet(out_path)
     out_df.unpersist()
+    if docs_raw is not None:
+        docs_raw.unpersist()
     report["out"] = out_path
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "report.json"), "w") as f:
@@ -307,6 +326,10 @@ def main(argv=None) -> None:
     pl.add_argument("--min-tokens", type=int, default=5)
     pl.add_argument("--max-ppl", type=float, default=None)
     pl.add_argument("--budget", type=int, default=2048)
+    pl.add_argument("--seen-history", default=None,
+                    help="parquet corpus of previously-ingested docs; "
+                    "new docs whose text was seen are bloom-filtered "
+                    "out before stage 1")
     pl.set_defaults(fn=cmd_pipeline)
 
     e = sub.add_parser("export")
