@@ -142,6 +142,17 @@ def main() -> None:
             )
         ).explain("formatted")
 
+        print("=" * 72)
+        print("10. Bloom seen filter (expect the history side to collapse")
+        print("    into ONE <= m/64-row bit_or aggregate feeding a")
+        print("    BroadcastHashJoin on word — the history never shuffles")
+        print("    to the probe side)")
+        print("=" * 72)
+        corpus_stats.bloom_seen_filter(
+            docs_raw.select("doc_id", "text"),
+            docs_raw.select("doc_id", "text"),
+        ).explain("formatted")
+
     spark.stop()
 
 
