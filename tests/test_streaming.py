@@ -241,3 +241,58 @@ def test_warc_ingest_stream_equals_batch(spark, tmp_path):
     got = spark.read.parquet(str(out)).orderBy("url").collect()
     want = en.selectExpr("url", "text").orderBy("url").collect()
     assert [(r.url, r.text) for r in got] == [(r.url, r.text) for r in want]
+
+
+def test_seen_filter_stream_equals_batch(spark, tmp_path):
+    """Streaming bloom seen filter: a crawl stream probed against a
+    static history bloom must flag exactly the rows the batch probe
+    flags (the hashlib position computation is
+    expression-for-expression the md5_60 double-hash family), with no
+    watermark and no state store — and every history text must come
+    back maybe_seen (no false negatives across the two hash
+    implementations)."""
+    from websearchengine_spark.operators import corpus_stats
+    from websearchengine_spark.streaming import stream
+
+    hist = spark.createDataFrame(
+        [(i, f"historical page {i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    bloom = corpus_stats.bloom_build(
+        hist.select(F.col("text").alias("key"))
+    )
+
+    rows = [(100 + i, f"fresh page {i}") for i in range(40)] + [
+        (200 + i, f"historical page {i}") for i in range(0, 40, 4)
+    ]
+    src_dir = str(tmp_path / "seen_src")
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        2
+    ).write.mode("overwrite").parquet(src_dir)
+    batch = spark.read.parquet(src_dir)
+
+    q = (
+        stream.seen_filter_stream(
+            spark.readStream.schema(batch.schema).parquet(src_dir), bloom
+        )
+        .writeStream.format("memory")
+        .queryName("seen_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "seen_cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: r.maybe_seen
+        for r in spark.sql("SELECT * FROM seen_stream").collect()
+    }
+    want = {
+        r.doc_id: r.maybe_seen
+        for r in corpus_stats.bloom_probe(
+            bloom, batch.select("doc_id", F.col("text").alias("key"))
+        ).collect()
+    }
+    assert got == want and len(got) == 50
+    for i in range(0, 40, 4):
+        assert got[200 + i] is True  # planted history copies flagged

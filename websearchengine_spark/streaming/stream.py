@@ -10,6 +10,9 @@ Three streaming shapes:
   ``events_windowed`` registry query);
 - session windows (``F.session_window``, 30-min inactivity gap) — the
   streaming analogue of the batch ``events_sessionize`` registry query;
+- stateless per-record filters against bounded broadcast state: the
+  bloom seen-filter twin (``seen_filter_stream``) probes a crawl stream
+  against a static historical seen-set with no watermark or state store;
 - incremental index build via ``foreachBatch``: each micro-batch of new
   documents runs the SAME map-side posting/segment pipeline
   (operators/indexer.py) and lands as a new committed partition through
@@ -23,6 +26,7 @@ assert equality with the batch computation.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -98,6 +102,68 @@ def dedup_exact_stream(
     else:
         src = src.dropDuplicates(["content_hash"])
     return src
+
+
+def seen_filter_stream(
+    docs: DataFrame,
+    bloom: DataFrame,
+    m: int | None = None,
+    k: int | None = None,
+    key_col: str = "text",
+) -> DataFrame:
+    """Streaming twin of ``corpus_stats.bloom_probe``: filter a crawl
+    STREAM against a static historical seen-set without state.
+
+    The batch probe is a broadcast join + bool_and aggregation; a
+    streaming aggregation would force watermarks and update-mode.  This
+    twin exploits the filter's bound instead: the bloom DataFrame is
+    ≤ m/64 rows BY CONSTRUCTION, so it collapses to one driver-side
+    bitmap (a bounded collect, same class as the serve path's term-stats
+    map) shipped once as a broadcast, and the probe becomes a STATELESS
+    Arrow-batched map — hashlib md5 computes positions
+    expression-for-expression equal to the md5_60 double-hash family, so
+    stream == batch exactly.  No watermark, no state store, append-mode;
+    works identically on a batch DataFrame.
+
+    Returns docs + (maybe_seen, is_kept)."""
+    from pyspark.sql import SparkSession
+
+    from websearchengine_spark.operators import corpus_stats
+
+    if m is None:
+        m = corpus_stats.BLOOM_M
+    if k is None:
+        k = corpus_stats.BLOOM_K
+    words = [0] * (m // 64)
+    for r in bloom.collect():  # bounded: <= m/64 rows by construction
+        words[r.word] = r.bits & 0xFFFFFFFFFFFFFFFF
+    spark = SparkSession.getActiveSession()
+    bc = spark.sparkContext.broadcast(words)
+    mm, kk = m, k
+
+    @F.pandas_udf("boolean")
+    def _seen(keys: pd.Series) -> pd.Series:
+        import hashlib
+
+        w = bc.value
+        out = []
+        for s in keys:
+            b = ("" if s is None else str(s)).encode("utf-8")
+            h1 = int(hashlib.md5(b).hexdigest()[:15], 16) % mm
+            h2 = (
+                int(hashlib.md5(b + b"|b").hexdigest()[:15], 16) % mm
+            ) | 1
+            hit = True
+            for i in range(kk):
+                pos = (h1 + i * h2) % mm
+                if not (w[pos >> 6] >> (pos & 63)) & 1:
+                    hit = False
+                    break
+            out.append(hit)
+        return pd.Series(out)
+
+    probed = docs.withColumn("maybe_seen", _seen(F.col(key_col)))
+    return probed.withColumn("is_kept", ~F.col("maybe_seen"))
 
 
 CTR_OUT_SCHEMA = (
