@@ -3,7 +3,7 @@ streaming — serving is request/response over a static index — so this
 module is the Spark-native extension the build brief asks for: streaming
 ingestion that reuses the SAME batch operators).
 
-Three streaming shapes:
+Four streaming shapes:
 
 - windowed event aggregation with watermarked late-data handling
   (tumbling window; the batch equivalence is gated by the driver's
