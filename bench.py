@@ -69,6 +69,8 @@ HEADLINE = [
     "cms_heavy_hitters",
     "hll_distinct",
     "bloom_seen_filter",
+    "gopher_rules",
+    "classifier_score",
 ]
 
 

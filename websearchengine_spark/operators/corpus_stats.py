@@ -864,3 +864,102 @@ def bloom_seen_filter(
         "maybe_seen",
         (~F.col("maybe_seen")).alias("is_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, MassiveText appendix A1.1)
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WL = 3.0
+GOPHER_MAX_MEAN_WL = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_RATIO = 0.9
+GOPHER_MAX_ELLIPSIS_RATIO = 0.3
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPS = 2
+
+
+def gopher_quality_flags(
+    docs: DataFrame,
+    min_words: int = GOPHER_MIN_WORDS,
+    max_words: int = GOPHER_MAX_WORDS,
+) -> DataFrame:
+    """The Gopher / MassiveText document-quality rule battery as one
+    map-side projection — zero shuffle, scan-speed at any corpus size
+    (the same plan shape as repetition_scores/pii_redact).
+
+    Per doc: word count in [min_words, max_words]; mean word length in
+    [3, 10]; (hash + ellipsis)-to-word ratio <= 0.1; <= 90% of lines
+    bullet-initial; <= 30% of lines ellipsis-final; >= 80% of words
+    contain an alphabetic character; >= 2 of 8 common English stopwords
+    present.  Words are whitespace tokens of the RAW text (punctuation
+    kept — the symbol rules need it), unlike the index tokenizer.
+
+    Every ratio is computed from the same integer operands on both
+    engines and rounded to 6 dp, so the DuckDB oracle hashes identically.
+    Thresholds for the repetition rule live separately in
+    ``repetition_scores`` (this battery is the static-rule half)."""
+    words = F.filter(
+        F.split(F.trim(F.regexp_replace(F.col("text"), "\\s+", " ")), " "),
+        lambda x: x != "",
+    )
+    lines = F.filter(
+        F.split(F.col("text"), "\n"), lambda x: F.trim(x) != ""
+    )
+    n_words = F.size(words)
+    nw_safe = F.greatest(n_words, F.lit(1))  # zero-word doc: ratios 0, not null
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    mean_wl = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    ) / nw_safe
+    n_hash = F.length(F.col("text")) - F.length(
+        F.regexp_replace(F.col("text"), "#", "")
+    )
+    n_ell = (
+        F.length(F.col("text"))
+        - F.length(F.replace(F.col("text"), F.lit("...")))
+    ) / F.lit(3)
+    symbol_ratio = (n_hash + n_ell) / nw_safe
+    bullet_ratio = F.size(
+        F.filter(
+            lines,
+            lambda x: F.substring(F.trim(x), 1, 1).isin("-", "*", "•"),
+        )
+    ) / n_lines
+    ellipsis_ratio = F.size(
+        F.filter(lines, lambda x: F.trim(x).endswith("..."))
+    ) / n_lines
+    alpha_frac = F.size(
+        F.filter(words, lambda x: x.rlike("[a-zA-Z]"))
+    ) / nw_safe
+    n_stops = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(words, F.lower)),
+            F.array(*[F.lit(s) for s in GOPHER_STOPS]),
+        )
+    )
+    flags = docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_ratio, 6).alias("bullet_ratio"),
+        F.round(ellipsis_ratio, 6).alias("ellipsis_ratio"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        n_stops.cast("long").alias("n_stops"),
+    )
+    keep = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(
+            GOPHER_MIN_MEAN_WL, GOPHER_MAX_MEAN_WL
+        )
+        & (F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
+        & (F.col("bullet_ratio") <= GOPHER_MAX_BULLET_RATIO)
+        & (F.col("ellipsis_ratio") <= GOPHER_MAX_ELLIPSIS_RATIO)
+        & (F.col("alpha_frac") >= GOPHER_MIN_ALPHA_FRAC)
+        & (F.col("n_stops") >= GOPHER_MIN_STOPS)
+    )
+    return flags.select("*", keep.alias("keep"))

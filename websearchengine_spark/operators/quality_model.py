@@ -1,0 +1,221 @@
+"""fastText-style hashed-feature linear classifier — the MODEL-BASED
+quality/language filter of web-scale training-data pipelines (the stage
+CCNet runs after line dedup, and the "quality classifier" of the GPT-3 /
+LLaMA data recipes).  The reference engine has no learned filter; this is
+a training-data extension alongside dedup / PII / LM-perplexity
+(operators/corpus_stats.py), built Spark-first:
+
+- **features** — an L1-normalized hashed bag of words per document plus a
+  constant bias feature: ``fid = md5_60(term) % dim`` (the repo's
+  cross-engine 60-bit hash, operators/dedup.py:md5_60), ``x = tf /
+  doc_len``.  One map-side projection + one ``(doc_id, fid)`` groupBy;
+  the feature table is built ONCE and persisted across all training
+  iterations, so the tokenizer never reruns.
+- **training** — full-batch logistic-regression gradient descent.  The
+  weight vector lives on the driver (``dim + 1`` floats — bounded by the
+  hash width, NOT the corpus) and enters each iteration's plan as a
+  broadcast join; the gradient comes back as ONE aggregation whose
+  exchange is capped at ``dim + 1`` rows regardless of corpus size.  At
+  100 TB each iteration is two bounded shuffles (margins keyed by doc,
+  gradient keyed by fid) over the persisted feature table — the same
+  aggregation shape MLlib's distributed LBFGS uses, with no per-row
+  Python anywhere.
+- **trajectory rounding** — gradients and weights are rounded to 1e-9
+  after every step, absorbing float-sum-order noise so the distributed
+  trainer walks a bit-identical trajectory to the sequential numpy twin
+  (oracle/quality_lr.py).  Same pattern as the IVF coarse quantizer
+  (operators/similarity.py:ivf_train), which lets the DuckDB gate embed
+  the trained weights as SQL literals and re-verify scoring end to end.
+- **scoring** — pure codegen: broadcast weight join, one sum, a sigmoid.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from websearchengine_spark.operators.dedup import md5_60
+
+CLF_DIM = 256       # hash buckets; gate-sized (the 100 TB setting is 2^18+)
+CLF_ITERS = 40
+CLF_LR = 3.0
+CLF_BETA = 0.9      # heavy-ball momentum — ~3x fewer iterations than GD
+CLF_ROUND = 9       # dp — absorbs float-sum-order noise (IVF pattern)
+BIAS_FID = -1       # the constant feature's id; weight stored at w[dim]
+
+
+def _words(col):
+    """SQL-expressible token layer (registry._toks): lower + split on
+    non-alphanumeric runs — identical in DuckDB, so the oracle recomputes
+    the same features."""
+    return F.split(
+        F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " ")), " "
+    )
+
+
+def hashed_features(docs: DataFrame, dim: int = CLF_DIM) -> DataFrame:
+    """(doc_id, fid, x) — L1-normalized hashed bag of words plus one bias
+    row (fid=-1, x=1.0) per document, so zero-token documents still score
+    (their margin is exactly the bias).
+
+    ``x = tf / doc_len`` where doc_len counts kept tokens; the division is
+    long/long -> double on both engines, so features are bit-identical to
+    the oracle's."""
+    tok = (
+        docs.select("doc_id", F.explode(_words(F.col("text"))).alias("term"))
+        .where(F.col("term") != "")
+        .select("doc_id", (md5_60(F.col("term")) % F.lit(dim)).alias("fid"))
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doc_len"))
+    tf = tok.groupBy("doc_id", "fid").agg(F.count(F.lit(1)).alias("tf"))
+    feat = tf.join(dl, "doc_id").select(
+        "doc_id", "fid", (F.col("tf") / F.col("doc_len")).alias("x")
+    )
+    bias = docs.select(
+        "doc_id",
+        F.lit(BIAS_FID).cast("long").alias("fid"),
+        F.lit(1.0).alias("x"),
+    )
+    return feat.unionAll(bias)
+
+
+def _weights_df(spark, w: np.ndarray, dim: int) -> DataFrame:
+    """Driver weight vector -> (fid, wt) rows; dim+1 rows, always tiny."""
+    rows = [(f, float(w[f])) for f in range(dim)] + [
+        (BIAS_FID, float(w[dim]))
+    ]
+    return spark.createDataFrame(rows, "fid long, wt double")
+
+
+def train_lr(
+    feats: DataFrame,
+    labels: DataFrame,
+    dim: int = CLF_DIM,
+    iters: int = CLF_ITERS,
+    lr: float = CLF_LR,
+    beta: float = CLF_BETA,
+) -> np.ndarray:
+    """Full-batch logistic regression (heavy-ball momentum) over hashed
+    features; returns the (dim+1,) weight vector (bias last).
+
+    labels: (doc_id, y double in {0,1}).  Deterministic in (data,
+    hyperparameters): gradient, velocity, and weights are all rounded to
+    1e-9 every step, so two runs — and the sequential numpy twin
+    (oracle/quality_lr.py:train_local) — produce bit-identical vectors.
+    Per iteration ONE Spark action: margins (broadcast weight join +
+    doc-keyed groupBy) feed the residual join and the fid-keyed gradient
+    groupBy, whose output is <= dim+1 rows (the only driver traffic)."""
+    spark = feats.sparkSession
+    labels = labels.persist()
+    n = float(labels.count())
+    # the training set may be a small labeled subset of the corpus
+    # (rule_labels' clear band) — restrict the feature table once, before
+    # the loop, so every iteration scans only labeled docs
+    feats = feats.join(
+        labels.select("doc_id"), "doc_id", "left_semi"
+    ).persist()
+    w = np.zeros(dim + 1, dtype=np.float64)
+    v = np.zeros(dim + 1, dtype=np.float64)
+    try:
+        for _ in range(iters):
+            wdf = _weights_df(spark, w, dim)
+            marg = (
+                feats.join(F.broadcast(wdf), "fid")
+                .groupBy("doc_id")
+                .agg(F.sum(F.col("x") * F.col("wt")).alias("m"))
+            )
+            resid = labels.join(marg, "doc_id").select(
+                "doc_id",
+                (
+                    F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m")))
+                    - F.col("y")
+                ).alias("r"),
+            )
+            grad_rows = (
+                feats.join(resid, "doc_id")
+                .groupBy("fid")
+                .agg((F.sum(F.col("x") * F.col("r")) / F.lit(n)).alias("g"))
+                .collect()
+            )
+            g = np.zeros(dim + 1, dtype=np.float64)
+            for row in grad_rows:
+                g[dim if row["fid"] == BIAS_FID else row["fid"]] = row["g"]
+            g = np.round(g, CLF_ROUND)
+            v = np.round(beta * v + g, CLF_ROUND)
+            w = np.round(w - lr * v, CLF_ROUND)
+    finally:
+        feats.unpersist()
+        labels.unpersist()
+    return w
+
+
+def score_lr(
+    feats: DataFrame, w: np.ndarray, dim: int = CLF_DIM
+) -> DataFrame:
+    """(doc_id, score, pred) — sigmoid of the hashed-feature margin.
+    Pure codegen: broadcast weight join + one sum; score rounded to 6 dp
+    for cross-engine hash stability."""
+    spark = feats.sparkSession
+    wdf = _weights_df(spark, w, dim)
+    marg = (
+        feats.join(F.broadcast(wdf), "fid")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("x") * F.col("wt")).alias("m"))
+    )
+    return marg.select(
+        "doc_id",
+        F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m"))), 6
+        ).alias("score"),
+        (F.col("m") > 0).cast("int").alias("pred"),
+    )
+
+
+def lang_labels(docs: DataFrame, lang: str = "en") -> DataFrame:
+    """(doc_id, y) — 1.0 where the document's lang tag matches
+    (fastText-LID-style supervision, for corpora whose languages have
+    distinct vocabularies)."""
+    return docs.select(
+        "doc_id", (F.col("lang") == lang).cast("double").alias("y")
+    )
+
+
+# Heuristic weak supervision for the gate corpus (whose lang tags are
+# independent of its shared synthetic vocabulary): label only the CLEAR
+# cases of a marker-term density rule — docs at or above MARKER_HI are
+# positives, at or below MARKER_LO negatives, and the ambiguous middle
+# band is excluded from training.  This is the GPT-3/CCNet shape exactly
+# (train on a trusted positive corpus vs a clear negative corpus, then
+# score everything), and it gives logistic regression a real margin
+# instead of a knife-edge decision boundary at the corpus median.
+MARKER_TERMS = ["scan", "join", "query", "sort"]
+MARKER_LO = 0.10
+MARKER_HI = 0.16
+
+
+def rule_labels(
+    docs: DataFrame,
+    terms: list[str] | None = None,
+    lo: float = MARKER_LO,
+    hi: float = MARKER_HI,
+) -> DataFrame:
+    """(doc_id, y) for the CLEARLY labeled docs only: y=1.0 where the
+    marker-term density (count of tokens in ``terms`` / token count) is
+    >= hi, y=0.0 where <= lo; the (lo, hi) band is excluded.  Pure
+    map-side projection; the density is int/int on both engines, so the
+    oracle's label set is bit-identical by construction."""
+    terms = MARKER_TERMS if terms is None else terms
+
+    def density(toks):
+        n = F.greatest(F.size(toks), F.lit(1))
+        m = F.size(F.filter(toks, lambda x: x.isin(*terms)))
+        return m / n
+
+    toks = F.filter(_words(F.col("text")), lambda x: x != "")
+    d = docs.select("doc_id", density(toks).alias("dens"))
+    return d.where(
+        (F.col("dens") >= hi) | (F.col("dens") <= lo)
+    ).select(
+        "doc_id", (F.col("dens") >= hi).cast("double").alias("y")
+    )

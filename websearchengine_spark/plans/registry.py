@@ -580,6 +580,7 @@ def _full_registry() -> dict[str, tuple[Callable, str | None]]:
         registry_ads,
         registry_ext,
         registry_pipeline,
+        registry_quality,
         registry_rankers,
         registry_ref,
         registry_traindata,
@@ -595,6 +596,7 @@ def _full_registry() -> dict[str, tuple[Callable, str | None]]:
         **registry_webdata.WEBDATA_REGISTRY,
         **registry_traindata.TRAINDATA_REGISTRY,
         **registry_pipeline.PIPELINE_REGISTRY,
+        **registry_quality.QUALITY_REGISTRY,
     }
 
 

@@ -1,0 +1,160 @@
+"""Registry extension: round-5 quality-filter gates — the Gopher static
+rule battery and the fastText-style learned quality/language classifier.
+
+Conventions follow the existing gate modules (registry_traindata): each
+Spark query calls the real engine operators; each oracle is an
+independent DuckDB formulation.  The classifier oracle embeds the
+sequential numpy twin's trained weights as SQL literals (the
+``_sql_ann_ivf_topk`` collection-time pattern) — twin ==
+distributed-train equality is separately pytest-gated
+(tests/test_quality_model.py)."""
+
+from __future__ import annotations
+
+import os
+
+from websearchengine_spark.operators import corpus_stats, quality_model
+from websearchengine_spark.plans.registry import _docs
+
+# ---------------------------------------------------------------------------
+# gopher_rules — Rae et al. 2021 static quality battery
+# ---------------------------------------------------------------------------
+# The synthetic corpus is short word salad (~25 words/doc), so the
+# published 50-word floor would flag everything; the gate lowers it to 20
+# so `keep` varies across the result while the other six rules run at
+# their published thresholds.
+
+GOPHER_GATE_MIN_WORDS = 20
+
+
+def q_gopher_rules(spark, sf_dir):
+    """Gopher/MassiveText rule battery — one map-side projection."""
+    return corpus_stats.gopher_quality_flags(
+        _docs(spark, sf_dir), min_words=GOPHER_GATE_MIN_WORDS
+    )
+
+
+_STOPS_SQL = ",".join(f"'{s}'" for s in corpus_stats.GOPHER_STOPS)
+
+SQL_GOPHER_RULES = f"""WITH base AS (
+  SELECT doc_id, text,
+    list_filter(string_split(trim(regexp_replace(text,'\\s+',' ','g')),' '),
+                x -> x <> '') AS words,
+    list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    len(words)::BIGINT AS n_words,
+    greatest(len(words), 1) AS nw,
+    greatest(len(lines), 1) AS nl,
+    coalesce(list_sum(list_transform(words, w -> length(w))), 0) AS sum_wl,
+    length(text) - length(replace(text, '#', '')) AS n_hash,
+    (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell,
+    len(list_filter(lines,
+        l -> left(trim(l), 1) IN ('-', '*', '•'))) AS n_bullet,
+    len(list_filter(lines, l -> trim(l) LIKE '%...')) AS n_ellline,
+    len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]'))) AS n_alpha,
+    len(list_intersect(list_distinct(list_transform(words, w -> lower(w))),
+        [{_STOPS_SQL}]))::BIGINT AS n_stops
+  FROM base
+),
+r AS (
+  SELECT doc_id, n_words,
+    round(sum_wl / nw, 6) AS mean_word_len,
+    round((n_hash + n_ell) / nw, 6) AS symbol_ratio,
+    round(n_bullet / nl, 6) AS bullet_ratio,
+    round(n_ellline / nl, 6) AS ellipsis_ratio,
+    round(n_alpha / nw, 6) AS alpha_frac,
+    n_stops
+  FROM m
+)
+SELECT *,
+  (n_words BETWEEN {GOPHER_GATE_MIN_WORDS} AND {corpus_stats.GOPHER_MAX_WORDS}
+   AND mean_word_len BETWEEN {corpus_stats.GOPHER_MIN_MEAN_WL}
+                         AND {corpus_stats.GOPHER_MAX_MEAN_WL}
+   AND symbol_ratio <= {corpus_stats.GOPHER_MAX_SYMBOL_RATIO}
+   AND bullet_ratio <= {corpus_stats.GOPHER_MAX_BULLET_RATIO}
+   AND ellipsis_ratio <= {corpus_stats.GOPHER_MAX_ELLIPSIS_RATIO}
+   AND alpha_frac >= {corpus_stats.GOPHER_MIN_ALPHA_FRAC}
+   AND n_stops >= {corpus_stats.GOPHER_MIN_STOPS}) AS keep
+FROM r"""
+
+
+# ---------------------------------------------------------------------------
+# classifier_score — learned language/quality filter
+# ---------------------------------------------------------------------------
+# Trains against heuristic weak supervision (marker-term density >= 0.13
+# — the GPT-3/CCNet pattern of labeling a positive set by rule; the
+# synthetic corpus's lang tags are independent of its shared vocabulary,
+# so lang supervision would be unlearnable here), then scores every
+# document.  The Spark side trains DISTRIBUTED; the oracle trains the
+# sequential numpy twin over the same parquet and embeds the weights as
+# literals — equal by the 1e-9 trajectory rounding both trainers share.
+
+
+def q_classifier_score(spark, sf_dir):
+    """Distributed train + score of the hashed linear classifier."""
+    docs = _docs(spark, sf_dir)
+    feats = quality_model.hashed_features(docs)
+    w = quality_model.train_lr(feats, quality_model.rule_labels(docs))
+    return quality_model.score_lr(feats, w)
+
+
+def _sql_classifier_score() -> str | None:
+    """Generate the gate SQL at oracle-collection time (it embeds weights
+    trained from the gate corpus).  Returns None (rows-only fallback) if
+    the corpus is unreadable here."""
+    from websearchengine_spark.oracle import quality_lr
+
+    path = os.path.join(
+        os.environ.get("WSE_ORACLE_SF_DIR", "/root/testdata/sf0.01"),
+        "documents.parquet",
+    )
+    dim = quality_model.CLF_DIM
+    try:
+        w = quality_lr.train_from_parquet(
+            path,
+            dim,
+            quality_model.CLF_ITERS,
+            quality_model.CLF_LR,
+            quality_model.CLF_ROUND,
+        )
+    except Exception:
+        return None
+    values = ",".join(f"({f},{w[f]!r})" for f in range(dim))
+    return f"""WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text),
+                '[^a-z0-9]+',' ','g')),' ')) AS term
+  FROM documents
+),
+t2 AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(term),1,15)) AS BIGINT) % {dim} AS fid
+  FROM tok WHERE term <> ''
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY doc_id),
+tf AS (SELECT doc_id, fid, count(*) AS tf FROM t2 GROUP BY doc_id, fid),
+feat AS (
+  SELECT tf.doc_id, fid, tf::DOUBLE / dl.dl AS x
+  FROM tf JOIN dl USING (doc_id)
+),
+w(fid, wt) AS (VALUES {values}),
+mg AS (
+  SELECT feat.doc_id, sum(x * wt) AS s
+  FROM feat JOIN w USING (fid) GROUP BY feat.doc_id
+),
+m AS (
+  SELECT d.doc_id, coalesce(s, 0) + {w[dim]!r} AS marg
+  FROM (SELECT doc_id FROM documents) d LEFT JOIN mg USING (doc_id)
+)
+SELECT doc_id, round(1/(1+exp(-marg)), 6) AS score,
+       (marg > 0)::INT AS pred
+FROM m"""
+
+
+QUALITY_REGISTRY = {
+    "gopher_rules": (q_gopher_rules, SQL_GOPHER_RULES),
+    "classifier_score": (q_classifier_score, _sql_classifier_score),
+}
