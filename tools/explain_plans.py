@@ -153,6 +153,22 @@ def main() -> None:
             docs_raw.select("doc_id", "text"),
         ).explain("formatted")
 
+        print("=" * 72)
+        print("11. Quality filters (gopher: expect ZERO exchanges — one")
+        print("    map-side projection; classifier scoring: expect the")
+        print("    dim+1-row weight table to enter as BroadcastHashJoin,")
+        print("    never SortMergeJoin, and all exchanges keyed by doc_id)")
+        print("=" * 72)
+        import numpy as np
+
+        from websearchengine_spark.operators import quality_model
+
+        corpus_stats.gopher_quality_flags(docs_raw).explain("formatted")
+        quality_model.score_lr(
+            quality_model.hashed_features(docs_raw),
+            np.zeros(quality_model.CLF_DIM + 1),
+        ).explain("formatted")
+
     spark.stop()
 
 
