@@ -71,6 +71,7 @@ HEADLINE = [
     "bloom_seen_filter",
     "gopher_rules",
     "classifier_score",
+    "bpe_token_count",
 ]
 
 

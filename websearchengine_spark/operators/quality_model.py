@@ -38,9 +38,10 @@ from pyspark.sql import functions as F
 from websearchengine_spark.operators.dedup import md5_60
 
 CLF_DIM = 256       # hash buckets; gate-sized (the 100 TB setting is 2^18+)
-CLF_ITERS = 40
-CLF_LR = 3.0
-CLF_BETA = 0.9      # heavy-ball momentum — ~3x fewer iterations than GD
+CLF_ITERS = 15
+CLF_LR = 5.0
+CLF_BETA = 0.92     # heavy-ball momentum — ~8x fewer iterations than GD;
+                    # each iteration is one Spark job, so iters IS the cost
 CLF_ROUND = 9       # dp — absorbs float-sum-order noise (IVF pattern)
 BIAS_FID = -1       # the constant feature's id; weight stored at w[dim]
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import os
 
-from websearchengine_spark.operators import corpus_stats, quality_model
+from websearchengine_spark.operators import bpe, corpus_stats, quality_model
 from websearchengine_spark.plans.registry import _docs
 
 # ---------------------------------------------------------------------------
@@ -154,7 +154,72 @@ SELECT doc_id, round(1/(1+exp(-marg)), 6) AS score,
 FROM m"""
 
 
+# ---------------------------------------------------------------------------
+# bpe_token_count — subword token budget under a corpus-trained BPE
+# ---------------------------------------------------------------------------
+# Training is deterministic in the word-frequency table (ties break on
+# the pair), so the oracle trains the same merge list from DuckDB's word
+# counts and embeds the resulting VOCABULARY segmentation (per-word
+# subword counts — bounded) as literals; the corpus-sized accounting
+# (explode + join + per-doc rollup) is recomputed relationally.  The
+# merge algebra itself is pytest-gated on hand-worked examples
+# (tests/test_bpe.py).
+
+BPE_GATE_MERGES = 40
+
+
+def q_bpe_token_count(spark, sf_dir):
+    """Distributed word counts -> driver merge learning -> vocab-costed
+    segmentation -> per-doc subword budget."""
+    docs = _docs(spark, sf_dir)
+    merges = bpe.train_merges(docs, BPE_GATE_MERGES)
+    return bpe.bpe_token_counts(docs, merges)
+
+
+def _sql_bpe_token_count() -> str | None:
+    """Generate the gate SQL at oracle-collection time (it embeds the
+    trained vocabulary's per-word subword counts)."""
+    import duckdb
+
+    path = os.path.join(
+        os.environ.get("WSE_ORACLE_SF_DIR", "/root/testdata/sf0.01"),
+        "documents.parquet",
+    )
+    try:
+        con = duckdb.connect()
+        wc = con.execute(
+            f"""WITH tok AS (
+  SELECT unnest(string_split(trim(regexp_replace(lower(text),
+         '[^a-z0-9]+',' ','g')),' ')) AS word
+  FROM read_parquet('{path}')
+)
+SELECT word, count(*)::BIGINT AS cnt FROM tok WHERE word <> ''
+GROUP BY word ORDER BY cnt DESC, word ASC LIMIT {bpe.BPE_TOP_V}"""
+        ).fetchall()
+        con.close()
+    except Exception:
+        return None
+    merges = bpe.train_merges_local(
+        [(w, c) for w, c in wc], BPE_GATE_MERGES
+    )
+    values = ",".join(
+        f"('{w}',{len(bpe.segment_word(w, merges))})" for w, _ in wc
+    )
+    return f"""WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text),
+                '[^a-z0-9]+',' ','g')),' ')) AS word
+  FROM documents
+),
+v(word, n_subwords) AS (VALUES {values})
+SELECT doc_id, count(*)::BIGINT AS n_words,
+       sum(n_subwords)::BIGINT AS n_subwords
+FROM tok JOIN v USING (word)
+GROUP BY doc_id"""
+
+
 QUALITY_REGISTRY = {
     "gopher_rules": (q_gopher_rules, SQL_GOPHER_RULES),
     "classifier_score": (q_classifier_score, _sql_classifier_score),
+    "bpe_token_count": (q_bpe_token_count, _sql_bpe_token_count),
 }
