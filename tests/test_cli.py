@@ -329,6 +329,29 @@ def test_pipeline_end_to_end(spark, corpus_dir, tmp_path, capsys):
     assert os.path.exists(os.path.join(out, "report.json"))
 
 
+def test_pipeline_optional_stage_flags(spark, corpus_dir, tmp_path, capsys):
+    """--gopher / --classifier-threshold / --bpe-report compose with the
+    default stages; the report carries the budget and attrition stays
+    monotone."""
+    out = str(tmp_path / "pipeq")
+    cli.main([
+        "pipeline", "--corpus", corpus_dir, "--out", out,
+        "--min-tokens", "3", "--max-rep", "0.9", "--budget", "256",
+        "--gopher", "--gopher-min-stops", "1",
+        "--classifier-threshold", "0.05", "--bpe-report",
+    ])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["after_quality"] <= rep["after_near_dedup"]
+    assert rep["after_quality"] > 0
+    # the fixture corpus has no marker-dense docs: the classifier's weak
+    # supervision is single-class, so the stage must SKIP (and say so),
+    # not train a constant filter
+    assert rep.get("classifier_skipped") is True
+    assert rep["bpe_subword_tokens"] > 0
+    df = spark.read.parquet(os.path.join(out, "corpus"))
+    assert df.count() == rep["after_quality"]
+
+
 def test_pipeline_from_warc(spark, tmp_path, capsys):
     """WARC in -> packed parquet out: the ingestion and pipeline stages
     compose."""

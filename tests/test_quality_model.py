@@ -144,3 +144,27 @@ def test_gopher_ellipsis_and_alpha_rules(spark):
     }
     assert out[0]["ellipsis_ratio"] > 0.3 and out[0]["keep"] is False
     assert out[1]["alpha_frac"] < 0.8 and out[1]["keep"] is False
+
+
+def test_pipeline_optional_quality_stages(spark, docs):
+    from websearchengine_spark.operators import pipeline as pl
+
+    report = {}
+    out = pl.run_pipeline(
+        docs.select("doc_id", "text"),
+        gopher=True,
+        gopher_min_words=5,
+        gopher_min_stops=0,  # the synthetic vocab carries only 'the'
+        classifier_threshold=0.2,
+        bpe_report=True,
+        report=report,
+    )
+    n_out = out.count()
+    out.unpersist()
+    # the extra stages filter but must not empty the corpus, and the
+    # BPE budget covers every surviving token at least once
+    assert 0 < n_out <= report["after_near_dedup"]
+    assert report["after_quality"] <= report["after_near_dedup"]
+    assert report["bpe_subword_tokens"] > 0
+    # defaults-off path unchanged: no optional keys leak into STAGES
+    assert set(pl.STAGES).issubset(report.keys() | {"n_bins"})

@@ -100,6 +100,10 @@ def cmd_pipeline(args) -> None:
         min_tokens=args.min_tokens,
         max_ppl=args.max_ppl,
         budget=args.budget,
+        gopher=args.gopher,
+        gopher_min_stops=args.gopher_min_stops,
+        classifier_threshold=args.classifier_threshold,
+        bpe_report=args.bpe_report,
         report=report,
     )
     out_path = os.path.join(args.out, "corpus")
@@ -326,6 +330,18 @@ def main(argv=None) -> None:
     pl.add_argument("--min-tokens", type=int, default=5)
     pl.add_argument("--max-ppl", type=float, default=None)
     pl.add_argument("--budget", type=int, default=2048)
+    pl.add_argument("--gopher", action="store_true",
+                    help="add the Gopher static rule battery to the "
+                    "stage-5 quality filter")
+    pl.add_argument("--gopher-min-stops", type=int, default=2,
+                    help="stopword-presence floor for the gopher rule "
+                    "battery (corpus-dependent; 0 disables the rule)")
+    pl.add_argument("--classifier-threshold", type=float, default=None,
+                    help="train the hashed linear classifier on the "
+                    "corpus's rule labels and keep docs with score >= T")
+    pl.add_argument("--bpe-report", action="store_true",
+                    help="train BPE on the final corpus and report its "
+                    "subword token budget")
     pl.add_argument("--seen-history", default=None,
                     help="parquet corpus of previously-ingested docs; "
                     "new docs whose text was seen are bloom-filtered "

@@ -886,6 +886,7 @@ def gopher_quality_flags(
     docs: DataFrame,
     min_words: int = GOPHER_MIN_WORDS,
     max_words: int = GOPHER_MAX_WORDS,
+    min_stops: int = GOPHER_MIN_STOPS,
 ) -> DataFrame:
     """The Gopher / MassiveText document-quality rule battery as one
     map-side projection — zero shuffle, scan-speed at any corpus size
@@ -960,6 +961,6 @@ def gopher_quality_flags(
         & (F.col("bullet_ratio") <= GOPHER_MAX_BULLET_RATIO)
         & (F.col("ellipsis_ratio") <= GOPHER_MAX_ELLIPSIS_RATIO)
         & (F.col("alpha_frac") >= GOPHER_MIN_ALPHA_FRAC)
-        & (F.col("n_stops") >= GOPHER_MIN_STOPS)
+        & (F.col("n_stops") >= min_stops)
     )
     return flags.select("*", keep.alias("keep"))

@@ -49,13 +49,26 @@ def run_pipeline(
     min_tokens: int = 5,
     max_ppl: float | None = None,
     budget: int = 2048,
+    gopher: bool = False,
+    gopher_min_words: int = 20,
+    gopher_min_stops: int = 2,
+    classifier_threshold: float | None = None,
+    bpe_report: bool = False,
     report: dict | None = None,
 ) -> DataFrame:
     """Run the composed pipeline over ``docs`` (doc_id, text, plus any
     carry-through columns, e.g. url).  Returns the surviving corpus
     (doc_id, *carry, text, n_tokens, bin_id); ``report`` (optional
     dict) receives the per-stage attrition counts — bounded scalars,
-    never row data."""
+    never row data.
+
+    Optional round-5 quality stages (all default off, so the gated
+    default composition is unchanged): ``gopher`` adds the static rule
+    battery to the stage-5 filter; ``classifier_threshold`` trains the
+    hashed linear classifier on the surviving corpus's rule labels
+    (CCNet-style per-snapshot weak supervision) and keeps docs scoring
+    at or above the threshold; ``bpe_report`` trains BPE merges on the
+    final corpus and reports its subword token budget."""
     if report is None:
         report = {}
     carry = [c for c in docs.columns if c not in ("doc_id", "text")]
@@ -115,6 +128,38 @@ def run_pipeline(
         lm = corpus_stats.bigram_lm_scores(docs3)
         qual = qual.join(lm.select("doc_id", "ppl"), "doc_id")
         cond = cond & (F.col("ppl") <= max_ppl)
+    if gopher:
+        gf = corpus_stats.gopher_quality_flags(
+            docs3, min_words=gopher_min_words, min_stops=gopher_min_stops
+        )
+        qual = qual.join(
+            gf.select("doc_id", F.col("keep").alias("gopher_keep")),
+            "doc_id",
+        )
+        cond = cond & F.col("gopher_keep")
+    if classifier_threshold is not None:
+        from websearchengine_spark.operators import quality_model as qm
+
+        labels = qm.rule_labels(docs3)
+        n_pos, n_neg = (
+            labels.agg(
+                F.sum("y").alias("p"),
+                F.sum(F.lit(1.0) - F.col("y")).alias("n"),
+            ).head()[:2]
+        )
+        if not n_pos or not n_neg:
+            # single-class weak supervision on this corpus — a trained
+            # filter would be the constant function; skip rather than
+            # silently drop everything (or nothing)
+            report["classifier_skipped"] = True
+        else:
+            feats = qm.hashed_features(docs3)
+            w = qm.train_lr(feats, labels)
+            qual = qual.join(
+                qm.score_lr(feats, w).select("doc_id", "score"),
+                "doc_id",
+            )
+            cond = cond & (F.col("score") >= classifier_threshold)
     docs4 = (
         qual.where(cond)
         .select("doc_id", *carry, "text", "n_tokens")
@@ -129,5 +174,15 @@ def run_pipeline(
     )
     out = docs4.join(packed.select("doc_id", "bin_id"), "doc_id").persist()
     report["n_bins"] = out.select("bin_id").distinct().count()
+    if bpe_report:
+        from websearchengine_spark.operators import bpe as bpe_op
+
+        merges = bpe_op.train_merges(out.select("doc_id", "text"))
+        report["bpe_subword_tokens"] = int(
+            bpe_op.bpe_token_counts(out.select("doc_id", "text"), merges)
+            .agg(F.sum("n_subwords").alias("s"))
+            .head()["s"]
+            or 0
+        )
     docs4.unpersist()
     return out  # persisted; caller unpersists when done
