@@ -168,3 +168,19 @@ def test_pipeline_optional_quality_stages(spark, docs):
     assert report["bpe_subword_tokens"] > 0
     # defaults-off path unchanged: no optional keys leak into STAGES
     assert set(pl.STAGES).issubset(report.keys() | {"n_bins"})
+
+
+def test_mapside_scorer_matches_join_scorer(docs, trained):
+    feats, w = trained
+    joined = quality_model.score_lr(feats, w).join(
+        docs.select(
+            "doc_id",
+            quality_model.score_text_expr(w).alias("score2"),
+        ),
+        "doc_id",
+    )
+    rows = joined.select(
+        F.max(F.abs(F.col("score") - F.col("score2"))).alias("d")
+    ).head()
+    # identical up to float-sum order inside the 6-dp rounding
+    assert rows["d"] <= 1e-6

@@ -296,3 +296,49 @@ def test_seen_filter_stream_equals_batch(spark, tmp_path):
     assert got == want and len(got) == 50
     for i in range(0, 40, 4):
         assert got[200 + i] is True  # planted history copies flagged
+
+
+def test_quality_filter_stream_equals_batch(spark, tmp_path):
+    """Stateless learned-quality filter: the trained weights fold into a
+    map-side expression, so the streaming filter needs no state store
+    and must keep exactly the rows the batch twin keeps — same
+    expression, same rows, same scores."""
+    from pyspark.sql import functions as F
+
+    from websearchengine_spark.operators import quality_model as qm
+    from websearchengine_spark.streaming import stream
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    w = qm.train_lr(qm.hashed_features(docs), qm.rule_labels(docs))
+
+    src_dir = str(tmp_path / "qf_src")
+    docs.select("doc_id", "text").coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+    batch = spark.read.parquet(src_dir)
+
+    q = (
+        stream.quality_filter_stream(
+            spark.readStream.schema(batch.schema).parquet(src_dir),
+            w,
+            threshold=0.5,
+        )
+        .writeStream.format("memory")
+        .queryName("qf_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "qf_cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: r.score
+        for r in spark.sql("SELECT * FROM qf_stream").collect()
+    }
+    want = {
+        r.doc_id: r.score
+        for r in stream.quality_filter_stream(
+            batch, w, threshold=0.5
+        ).collect()
+    }
+    assert got == want and 0 < len(got) < docs.count()

@@ -220,3 +220,34 @@ def rule_labels(
     ).select(
         "doc_id", (F.col("dens") >= hi).cast("double").alias("y")
     )
+
+
+def score_text_expr(w: np.ndarray, dim: int = CLF_DIM):
+    """Map-side scoring COLUMN over ``text`` — the deployment scorer.
+
+    The margin identity makes the feature table unnecessary at apply
+    time: sum_f w_f * tf_f / n + b == (sum over tokens of w[fid(tok)])
+    / n + b, so with the trained weights folded in as an array literal
+    the whole score is one higher-order-function expression — zero
+    shuffle, zero state, which is what lets the SAME expression filter
+    a structured stream (streaming/stream.py:quality_filter_stream) and
+    scan a 100 TB corpus at read speed.  ``score_lr`` (join-based) stays
+    for training-time reuse of the persisted feature table."""
+    warr = F.array(*[F.lit(float(w[f])) for f in range(dim)])
+    toks = F.filter(_words(F.col("text")), lambda x: x != "")
+
+    def margin(ts):
+        tok_sum = F.aggregate(
+            ts,
+            F.lit(0.0),
+            lambda acc, t: acc
+            + F.element_at(
+                warr, ((md5_60(t) % dim) + 1).cast("int")
+            ),
+        )
+        return tok_sum / F.greatest(F.size(ts), F.lit(1)) + F.lit(
+            float(w[dim])
+        )
+
+    m = margin(toks)
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-m)), 6)

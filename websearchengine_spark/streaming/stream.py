@@ -3,7 +3,7 @@ streaming — serving is request/response over a static index — so this
 module is the Spark-native extension the build brief asks for: streaming
 ingestion that reuses the SAME batch operators).
 
-Four streaming shapes:
+Five streaming shapes:
 
 - windowed event aggregation with watermarked late-data handling
   (tumbling window; the batch equivalence is gated by the driver's
@@ -12,7 +12,9 @@ Four streaming shapes:
   streaming analogue of the batch ``events_sessionize`` registry query;
 - stateless per-record filters against bounded broadcast state: the
   bloom seen-filter twin (``seen_filter_stream``) probes a crawl stream
-  against a static historical seen-set with no watermark or state store;
+  against a static historical seen-set, and the learned-quality twin
+  (``quality_filter_stream``) folds trained classifier weights into one
+  map-side scoring expression — both with no watermark or state store;
 - incremental index build via ``foreachBatch``: each micro-batch of new
   documents runs the SAME map-side posting/segment pipeline
   (operators/indexer.py) and lands as a new committed partition through
@@ -251,4 +253,23 @@ def incremental_index_query(
         corpus_stream.writeStream.outputMode("update")
         .option("checkpointLocation", spark_checkpoint_dir)
         .foreachBatch(_process)
+    )
+
+
+def quality_filter_stream(
+    docs: DataFrame, weights, threshold: float, dim: int | None = None
+) -> DataFrame:
+    """Stateless learned-quality filter over a document stream: the
+    trained classifier's weights fold into one map-side scoring
+    expression (quality_model.score_text_expr — the margin needs no
+    feature table at apply time), so there is no watermark, no state
+    store, and stream == batch row-for-row.  Works identically on a
+    static DataFrame (the batch twin the test compares against)."""
+    from websearchengine_spark.operators import quality_model as qm
+
+    score = qm.score_text_expr(
+        weights, qm.CLF_DIM if dim is None else dim
+    )
+    return docs.select("*", score.alias("score")).where(
+        F.col("score") >= threshold
     )
