@@ -72,6 +72,8 @@ HEADLINE = [
     "gopher_rules",
     "classifier_score",
     "bpe_token_count",
+    "dataset_split",
+    "source_weighted_sample",
 ]
 
 

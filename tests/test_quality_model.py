@@ -184,3 +184,47 @@ def test_mapside_scorer_matches_join_scorer(docs, trained):
     ).head()
     # identical up to float-sum order inside the 6-dp rounding
     assert rows["d"] <= 1e-6
+
+
+def test_dataset_split_deterministic_and_leak_safe(spark, docs):
+    out1 = corpus_stats.dataset_split(docs).collect()
+    got = {r["doc_id"]: r["split"] for r in out1}
+    n = len(got)
+    from collections import Counter
+
+    c = Counter(got.values())
+    assert set(c) <= {"train", "val", "test"} and c["train"] > c["val"]
+    # membership is a pure function of doc_id: a doc keeps its split
+    # when the corpus around it changes (the anti-leak invariant)
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    got_half = {
+        r["doc_id"]: r["split"]
+        for r in corpus_stats.dataset_split(half).collect()
+    }
+    assert all(got[d] == s for d, s in got_half.items())
+    assert n == docs.count()
+
+
+def test_source_weighted_sample_rates_and_temperature(spark):
+    rows = [(i, f"src{i % 2}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    w = {"src0": 1.0, "src1": 0.25}
+    cold = corpus_stats.source_weighted_sample(df, w, temperature=1.0)
+    kept = {
+        r["source"]: r["k"]
+        for r in cold.groupBy("source")
+        .agg(F.sum(F.col("is_kept").cast("int")).alias("k"))
+        .collect()
+    }
+    # heaviest source keeps everything; the other thins at ~w ratio
+    assert kept["src0"] == 1000
+    assert 180 <= kept["src1"] <= 320
+    hot = corpus_stats.source_weighted_sample(df, w, temperature=4.0)
+    kept_hot = {
+        r["source"]: r["k"]
+        for r in hot.groupBy("source")
+        .agg(F.sum(F.col("is_kept").cast("int")).alias("k"))
+        .collect()
+    }
+    # temperature flattens the mix toward uniform: 0.25^(1/4) ~ 0.707
+    assert kept_hot["src1"] > kept["src1"]

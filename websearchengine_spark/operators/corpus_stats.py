@@ -964,3 +964,88 @@ def gopher_quality_flags(
         & (F.col("n_stops") >= min_stops)
     )
     return flags.select("*", keep.alias("keep"))
+
+
+# ---------------------------------------------------------------------------
+# dataset assembly: deterministic split + weighted source sampling
+# ---------------------------------------------------------------------------
+
+SPLIT_FRACS = (("train", 0.9), ("val", 0.05), ("test", 0.05))
+_H60_RANGE = float(1 << 60)
+
+
+def _unit_hash(key_col: F.Column, salt: str) -> F.Column:
+    """Deterministic u in [0, 1): md5-60bit of (key || salt) scaled by
+    2^60 — cross-engine identical (the md5_60 family), reshuffled by
+    changing the salt, and independent of row order / partitioning (the
+    property rand(seed) does NOT have on a cluster)."""
+    from websearchengine_spark.operators.dedup import md5_60
+
+    return md5_60(
+        F.concat(key_col.cast("string"), F.lit("|" + salt))
+    ) / F.lit(_H60_RANGE)
+
+
+def dataset_split(
+    docs: DataFrame,
+    fracs: tuple = SPLIT_FRACS,
+    salt: str = "split",
+) -> DataFrame:
+    """(doc_id, u, split) — deterministic train/val/test assignment by
+    hashed doc_id against cumulative fractions.  Pure map-side
+    projection; membership is a property of the doc_id alone, so a doc
+    keeps its split across reruns, corpus growth, and repartitioning —
+    the invariant that prevents silent train/test leakage when the
+    corpus is rebuilt."""
+    u = F.round(_unit_hash(F.col("doc_id"), salt), 9)
+    expr = None
+    acc = 0.0
+    for name, frac in fracs:
+        acc += frac
+        cond = u < F.lit(acc)
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    return docs.select(
+        "doc_id", u.alias("u"), expr.otherwise(fracs[-1][0]).alias("split")
+    )
+
+
+def source_weighted_sample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    temperature: float = 1.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """(doc_id, source, keep_p, is_kept) — deterministic Bernoulli
+    sampling with per-source rates, the data-mixing step that turns
+    ``source_mix`` percentages into an actual training blend.
+
+    keep_p = (w_source ** (1/temperature)) normalized by the max so the
+    heaviest source keeps everything; temperature > 1 flattens the mix
+    toward uniform (the multilingual-sampling trick).  The decision is
+    a hash of doc_id — map-side, reproducible, order-independent."""
+    t = max(temperature, 1e-9)
+    powed = {s: w ** (1.0 / t) for s, w in weights.items()}
+    mx = max(powed.values()) if powed else 1.0
+    rates = {s: p / mx for s, p in powed.items()}
+    keep_p = None
+    for s, p in sorted(rates.items()):
+        lit_p = F.lit(float(round(p, 9)))
+        keep_p = (
+            F.when(F.col("source") == s, lit_p)
+            if keep_p is None
+            else keep_p.when(F.col("source") == s, lit_p)
+        )
+    keep_p = (
+        keep_p.otherwise(F.lit(0.0)) if keep_p is not None else F.lit(0.0)
+    )
+    u = F.round(_unit_hash(F.col("doc_id"), salt), 9)
+    return docs.select(
+        "doc_id",
+        "source",
+        keep_p.alias("keep_p"),
+        (u < keep_p).alias("is_kept"),
+    )

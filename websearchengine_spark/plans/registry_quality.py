@@ -223,3 +223,71 @@ QUALITY_REGISTRY = {
     "classifier_score": (q_classifier_score, _sql_classifier_score),
     "bpe_token_count": (q_bpe_token_count, _sql_bpe_token_count),
 }
+
+
+# ---------------------------------------------------------------------------
+# dataset assembly gates: deterministic split + weighted source sampling
+# ---------------------------------------------------------------------------
+# Both SQL twins are GENERATED from the same Python floats the Spark
+# side accumulates (cumulative fractions, temperature-powered rates), so
+# threshold literals are bit-identical doubles on both engines.
+
+_U_SQL = (
+    "round(CAST(('0x' || substr(md5(doc_id::VARCHAR || '|{salt}'),1,15))"
+    " AS BIGINT) / 1152921504606846976.0, 9)"
+)
+
+MIX_WEIGHTS = {f"src{i}": 1.0 / (i + 1) for i in range(20)}
+MIX_TEMPERATURE = 2.0
+
+
+def q_dataset_split(spark, sf_dir):
+    """Hash-deterministic train/val/test assignment."""
+    return corpus_stats.dataset_split(_docs(spark, sf_dir))
+
+
+def _sql_dataset_split() -> str:
+    u = _U_SQL.format(salt="split")
+    acc, cases = 0.0, []
+    for name, frac in corpus_stats.SPLIT_FRACS[:-1]:
+        acc += frac
+        cases.append(f"WHEN u < {acc!r} THEN '{name}'")
+    last = corpus_stats.SPLIT_FRACS[-1][0]
+    return f"""WITH h AS (SELECT doc_id, {u} AS u FROM documents)
+SELECT doc_id, u, CASE {' '.join(cases)} ELSE '{last}' END AS split
+FROM h"""
+
+
+def q_source_weighted_sample(spark, sf_dir):
+    """Temperature-flattened source mixing (T=2 over 1/(i+1) weights)."""
+    return corpus_stats.source_weighted_sample(
+        _docs(spark, sf_dir), MIX_WEIGHTS, MIX_TEMPERATURE
+    )
+
+
+def _sql_source_weighted_sample() -> str:
+    t = MIX_TEMPERATURE
+    powed = {s: w ** (1.0 / t) for s, w in MIX_WEIGHTS.items()}
+    mx = max(powed.values())
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {float(round(p / mx, 9))!r}"
+        for s, p in sorted(powed.items())
+    )
+    u = _U_SQL.format(salt="mix")
+    return f"""WITH h AS (
+  SELECT doc_id, source, {u} AS u,
+         CAST(CASE {cases} ELSE 0.0 END AS DOUBLE) AS keep_p
+  FROM documents
+)
+SELECT doc_id, source, keep_p, u < keep_p AS is_kept FROM h"""
+
+
+QUALITY_REGISTRY.update(
+    {
+        "dataset_split": (q_dataset_split, _sql_dataset_split()),
+        "source_weighted_sample": (
+            q_source_weighted_sample,
+            _sql_source_weighted_sample(),
+        ),
+    }
+)
