@@ -325,6 +325,8 @@ def test_pipeline_end_to_end(spark, corpus_dir, tmp_path, capsys):
     assert rep["n_bins"] >= 1
     df = spark.read.parquet(os.path.join(out, "corpus"))
     assert df.count() == rep["after_quality"]
+    splits = {r["split"] for r in df.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"} and "train" in splits
     assert set(df.columns) == {"doc_id", "url", "text", "n_tokens", "bin_id"}
     assert os.path.exists(os.path.join(out, "report.json"))
 
@@ -338,7 +340,7 @@ def test_pipeline_optional_stage_flags(spark, corpus_dir, tmp_path, capsys):
         "pipeline", "--corpus", corpus_dir, "--out", out,
         "--min-tokens", "3", "--max-rep", "0.9", "--budget", "256",
         "--gopher", "--gopher-min-stops", "1",
-        "--classifier-threshold", "0.05", "--bpe-report",
+        "--classifier-threshold", "0.05", "--bpe-report", "--split",
     ])
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["after_quality"] <= rep["after_near_dedup"]
@@ -350,6 +352,8 @@ def test_pipeline_optional_stage_flags(spark, corpus_dir, tmp_path, capsys):
     assert rep["bpe_subword_tokens"] > 0
     df = spark.read.parquet(os.path.join(out, "corpus"))
     assert df.count() == rep["after_quality"]
+    splits = {r["split"] for r in df.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"} and "train" in splits
 
 
 def test_pipeline_from_warc(spark, tmp_path, capsys):

@@ -104,6 +104,7 @@ def cmd_pipeline(args) -> None:
         gopher_min_stops=args.gopher_min_stops,
         classifier_threshold=args.classifier_threshold,
         bpe_report=args.bpe_report,
+        split=args.split,
         report=report,
     )
     out_path = os.path.join(args.out, "corpus")
@@ -339,6 +340,9 @@ def main(argv=None) -> None:
     pl.add_argument("--classifier-threshold", type=float, default=None,
                     help="train the hashed linear classifier on the "
                     "corpus's rule labels and keep docs with score >= T")
+    pl.add_argument("--split", action="store_true",
+                    help="stamp a leak-safe train/val/test column on "
+                    "the output corpus (hash-deterministic per doc_id)")
     pl.add_argument("--bpe-report", action="store_true",
                     help="train BPE on the final corpus and report its "
                     "subword token budget")

@@ -54,6 +54,7 @@ def run_pipeline(
     gopher_min_stops: int = 2,
     classifier_threshold: float | None = None,
     bpe_report: bool = False,
+    split: bool = False,
     report: dict | None = None,
 ) -> DataFrame:
     """Run the composed pipeline over ``docs`` (doc_id, text, plus any
@@ -68,7 +69,9 @@ def run_pipeline(
     hashed linear classifier on the surviving corpus's rule labels
     (CCNet-style per-snapshot weak supervision) and keeps docs scoring
     at or above the threshold; ``bpe_report`` trains BPE merges on the
-    final corpus and reports its subword token budget."""
+    final corpus and reports its subword token budget; ``split`` stamps
+    the leak-safe train/val/test assignment (dataset_split) onto the
+    output so downstream rebuilds keep doc membership stable."""
     if report is None:
         report = {}
     carry = [c for c in docs.columns if c not in ("doc_id", "text")]
@@ -172,7 +175,15 @@ def run_pipeline(
     packed = corpus_stats.sequence_pack(
         docs4.select("doc_id", "text"), budget
     )
-    out = docs4.join(packed.select("doc_id", "bin_id"), "doc_id").persist()
+    out = docs4.join(packed.select("doc_id", "bin_id"), "doc_id")
+    if split:
+        out = out.join(
+            corpus_stats.dataset_split(out.select("doc_id")).select(
+                "doc_id", "split"
+            ),
+            "doc_id",
+        )
+    out = out.persist()
     report["n_bins"] = out.select("bin_id").distinct().count()
     if bpe_report:
         from websearchengine_spark.operators import bpe as bpe_op
