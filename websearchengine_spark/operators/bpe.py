@@ -33,22 +33,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from websearchengine_spark.operators.corpus_stats import (
+    _toks_clean as _words_col,  # the ONE shared gate tokenizer
+)
+
 BPE_MERGES = 40
 BPE_TOP_V = 65536
-
-
-def _words_col():
-    """The SQL-expressible token layer (registry._toks) — shared with the
-    classifier/gate tokenizer so oracle word counts are identical."""
-    return F.filter(
-        F.split(
-            F.trim(
-                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
-            ),
-            " ",
-        ),
-        lambda x: x != "",
-    )
 
 
 def word_counts(docs: DataFrame, top_v: int = BPE_TOP_V) -> DataFrame:
@@ -63,6 +53,21 @@ def word_counts(docs: DataFrame, top_v: int = BPE_TOP_V) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("word"))
         .limit(top_v)
     )
+
+
+def _apply_merge(seq: list[str], a: str, b: str) -> list[str]:
+    """Replace every non-overlapping adjacent (a, b) with a+b — the ONE
+    merge applier shared by training and segmentation, so the sequences
+    training evolves are by construction the ones apply-time produces."""
+    j, out = 0, []
+    while j < len(seq):
+        if j + 1 < len(seq) and seq[j] == a and seq[j + 1] == b:
+            out.append(a + b)
+            j += 2
+        else:
+            out.append(seq[j])
+            j += 1
+    return out
 
 
 def train_merges_local(
@@ -90,17 +95,7 @@ def train_merges_local(
             break
         (a, b), _ = best
         merges.append((a, b))
-        ab = a + b
-        for i, (seq, cnt) in enumerate(seqs):
-            j, out = 0, []
-            while j < len(seq):
-                if j + 1 < len(seq) and seq[j] == a and seq[j + 1] == b:
-                    out.append(ab)
-                    j += 2
-                else:
-                    out.append(seq[j])
-                    j += 1
-            seqs[i] = (out, cnt)
+        seqs = [(_apply_merge(seq, a, b), cnt) for seq, cnt in seqs]
     return merges
 
 
@@ -125,15 +120,7 @@ def segment_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
     """Apply the merge list in learned order to one word."""
     seq = list(word)
     for a, b in merges:
-        j, out = 0, []
-        while j < len(seq):
-            if j + 1 < len(seq) and seq[j] == a and seq[j + 1] == b:
-                out.append(a + b)
-                j += 2
-            else:
-                out.append(seq[j])
-                j += 1
-        seq = out
+        seq = _apply_merge(seq, a, b)
     return seq
 
 

@@ -903,8 +903,17 @@ def gopher_quality_flags(
     engines and rounded to 6 dp, so the DuckDB oracle hashes identically.
     Thresholds for the repetition rule live separately in
     ``repetition_scores`` (this battery is the static-rule half)."""
+    # explicit whitespace class: Java's \s and DuckDB/RE2's \s disagree
+    # on vertical tab (\x0B), so both engines spell the class out
     words = F.filter(
-        F.split(F.trim(F.regexp_replace(F.col("text"), "\\s+", " ")), " "),
+        F.split(
+            F.trim(
+                F.regexp_replace(
+                    F.col("text"), "[ \\t\\n\\x0B\\f\\r]+", " "
+                )
+            ),
+            " ",
+        ),
         lambda x: x != "",
     )
     lines = F.filter(

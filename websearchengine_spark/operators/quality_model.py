@@ -35,6 +35,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from websearchengine_spark.operators.corpus_stats import _bind, _toks_clean
 from websearchengine_spark.operators.dedup import md5_60
 
 CLF_DIM = 256       # hash buckets; gate-sized (the 100 TB setting is 2^18+)
@@ -46,13 +47,10 @@ CLF_ROUND = 9       # dp — absorbs float-sum-order noise (IVF pattern)
 BIAS_FID = -1       # the constant feature's id; weight stored at w[dim]
 
 
-def _words(col):
-    """SQL-expressible token layer (registry._toks): lower + split on
-    non-alphanumeric runs — identical in DuckDB, so the oracle recomputes
-    the same features."""
-    return F.split(
-        F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " ")), " "
-    )
+# token layer: the ONE shared SQL-expressible tokenizer
+# (dedup.tokens_col via corpus_stats._toks_clean) — the oracle-equality
+# design requires every consumer to use the same expression, so no local
+# copy is kept here.
 
 
 def hashed_features(docs: DataFrame, dim: int = CLF_DIM) -> DataFrame:
@@ -63,11 +61,9 @@ def hashed_features(docs: DataFrame, dim: int = CLF_DIM) -> DataFrame:
     ``x = tf / doc_len`` where doc_len counts kept tokens; the division is
     long/long -> double on both engines, so features are bit-identical to
     the oracle's."""
-    tok = (
-        docs.select("doc_id", F.explode(_words(F.col("text"))).alias("term"))
-        .where(F.col("term") != "")
-        .select("doc_id", (md5_60(F.col("term")) % F.lit(dim)).alias("fid"))
-    )
+    tok = docs.select(
+        "doc_id", F.explode(_toks_clean()).alias("term")
+    ).select("doc_id", (md5_60(F.col("term")) % F.lit(dim)).alias("fid"))
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doc_len"))
     tf = tok.groupBy("doc_id", "fid").agg(F.count(F.lit(1)).alias("tf"))
     feat = tf.join(dl, "doc_id").select(
@@ -110,6 +106,11 @@ def train_lr(
     spark = feats.sparkSession
     labels = labels.persist()
     n = float(labels.count())
+    if n == 0:
+        # degenerate supervision: no labeled docs -> the zero model (the
+        # numpy twin short-circuits identically instead of dividing by 0)
+        labels.unpersist()
+        return np.zeros(dim + 1, dtype=np.float64)
     # the training set may be a small labeled subset of the corpus
     # (rule_labels' clear band) — restrict the feature table once, before
     # the loop, so every iteration scans only labeled docs
@@ -173,15 +174,6 @@ def score_lr(
     )
 
 
-def lang_labels(docs: DataFrame, lang: str = "en") -> DataFrame:
-    """(doc_id, y) — 1.0 where the document's lang tag matches
-    (fastText-LID-style supervision, for corpora whose languages have
-    distinct vocabularies)."""
-    return docs.select(
-        "doc_id", (F.col("lang") == lang).cast("double").alias("y")
-    )
-
-
 # Heuristic weak supervision for the gate corpus (whose lang tags are
 # independent of its shared synthetic vocabulary): label only the CLEAR
 # cases of a marker-term density rule — docs at or above MARKER_HI are
@@ -208,13 +200,16 @@ def rule_labels(
     oracle's label set is bit-identical by construction."""
     terms = MARKER_TERMS if terms is None else terms
 
-    def density(toks):
-        n = F.greatest(F.size(toks), F.lit(1))
-        m = F.size(F.filter(toks, lambda x: x.isin(*terms)))
+    def density(ts):
+        n = F.greatest(F.size(ts), F.lit(1))
+        m = F.size(F.filter(ts, lambda x: x.isin(*terms)))
         return m / n
 
-    toks = F.filter(_words(F.col("text")), lambda x: x != "")
-    d = docs.select("doc_id", density(toks).alias("dens"))
+    # _bind evaluates the token split ONCE (Catalyst re-evaluates HOF
+    # lambda references per use otherwise — corpus_stats._bind docstring)
+    d = docs.select(
+        "doc_id", _bind(_toks_clean(), density).alias("dens")
+    )
     return d.where(
         (F.col("dens") >= hi) | (F.col("dens") <= lo)
     ).select(
@@ -234,7 +229,6 @@ def score_text_expr(w: np.ndarray, dim: int = CLF_DIM):
     scan a 100 TB corpus at read speed.  ``score_lr`` (join-based) stays
     for training-time reuse of the persisted feature table."""
     warr = F.array(*[F.lit(float(w[f])) for f in range(dim)])
-    toks = F.filter(_words(F.col("text")), lambda x: x != "")
 
     def margin(ts):
         tok_sum = F.aggregate(
@@ -249,5 +243,5 @@ def score_text_expr(w: np.ndarray, dim: int = CLF_DIM):
             float(w[dim])
         )
 
-    m = margin(toks)
+    m = _bind(_toks_clean(), margin)  # token split evaluated once
     return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-m)), 6)

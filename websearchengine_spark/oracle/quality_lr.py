@@ -52,7 +52,7 @@ def train_local(
     iters: int,
     lr: float,
     round_dp: int,
-    beta: float = 0.9,
+    beta: float,
 ) -> np.ndarray:
     """Bit-identical twin of quality_model.train_lr (see its docstring
     for the trajectory-lockstep argument).  Inputs are the token feature
@@ -60,6 +60,10 @@ def train_local(
     hashed_features appends its fid=-1 rows."""
     order = {int(d): i for i, d in enumerate(label_doc_ids)}
     n = len(label_doc_ids)
+    if n == 0:
+        # mirror train_lr's degenerate-supervision short-circuit (no
+        # labeled docs -> the zero model, never 0/0)
+        return np.zeros(dim + 1, dtype=np.float64)
     rows = np.array([order[int(d)] for d in doc_ids], dtype=np.int64)
     X = np.zeros((n, dim + 1), dtype=np.float64)
     X[rows, fids.astype(np.int64)] = xs  # (doc,fid) pairs are unique

@@ -38,7 +38,8 @@ _STOPS_SQL = ",".join(f"'{s}'" for s in corpus_stats.GOPHER_STOPS)
 
 SQL_GOPHER_RULES = f"""WITH base AS (
   SELECT doc_id, text,
-    list_filter(string_split(trim(regexp_replace(text,'\\s+',' ','g')),' '),
+    list_filter(string_split(trim(regexp_replace(text,
+                '[ \\t\\n\\x0B\\f\\r]+',' ','g')),' '),
                 x -> x <> '') AS words,
     list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines
   FROM documents
@@ -122,7 +123,7 @@ def _sql_classifier_score() -> str | None:
         )
     except Exception:
         return None
-    values = ",".join(f"({f},{w[f]!r})" for f in range(dim))
+    values = ",".join(f"({f},{float(w[f])!r})" for f in range(dim))
     return f"""WITH tok AS (
   SELECT doc_id,
          unnest(string_split(trim(regexp_replace(lower(text),
@@ -146,7 +147,7 @@ mg AS (
   FROM feat JOIN w USING (fid) GROUP BY feat.doc_id
 ),
 m AS (
-  SELECT d.doc_id, coalesce(s, 0) + {w[dim]!r} AS marg
+  SELECT d.doc_id, coalesce(s, 0) + {float(w[dim])!r} AS marg
   FROM (SELECT doc_id FROM documents) d LEFT JOIN mg USING (doc_id)
 )
 SELECT doc_id, round(1/(1+exp(-marg)), 6) AS score,
@@ -187,6 +188,10 @@ def _sql_bpe_token_count() -> str | None:
     )
     try:
         con = duckdb.connect()
+        # full distinct vocabulary WITHOUT the top_v training cap: the
+        # Spark side segments every distinct word, so the embedded
+        # segmentation table must too (training below still sees only
+        # the top_v rows, exactly like bpe.train_merges)
         wc = con.execute(
             f"""WITH tok AS (
   SELECT unnest(string_split(trim(regexp_replace(lower(text),
@@ -194,13 +199,17 @@ def _sql_bpe_token_count() -> str | None:
   FROM read_parquet('{path}')
 )
 SELECT word, count(*)::BIGINT AS cnt FROM tok WHERE word <> ''
-GROUP BY word ORDER BY cnt DESC, word ASC LIMIT {bpe.BPE_TOP_V}"""
+GROUP BY word ORDER BY cnt DESC, word ASC"""
         ).fetchall()
         con.close()
     except Exception:
         return None
+    if not wc or len(wc) > 100_000:
+        # empty corpus (VALUES would be malformed) or a vocabulary too
+        # large to embed as literals -> rows-only fallback
+        return None
     merges = bpe.train_merges_local(
-        [(w, c) for w, c in wc], BPE_GATE_MERGES
+        [(w, c) for w, c in wc[: bpe.BPE_TOP_V]], BPE_GATE_MERGES
     )
     values = ",".join(
         f"('{w}',{len(bpe.segment_word(w, merges))})" for w, _ in wc
