@@ -131,10 +131,13 @@ def test_truncated_record_raises(tmp_path):
 
 
 def test_multimember_gzip_decoder():
+    # the streaming reader must decode concatenated gzip members
+    # transparently (the Common Crawl per-record-member layout) and pass
+    # raw bytes through untouched
     a = gzip.compress(b"alpha", mtime=0)
     b = gzip.compress(b"beta", mtime=0)
-    assert warc._gunzip_members(a + b) == b"alphabeta"
-    assert warc._gunzip_members(b"raw passthrough") == b"raw passthrough"
+    assert warc._record_stream(a + b).read() == b"alphabeta"
+    assert warc._record_stream(b"raw passthrough").read() == b"raw passthrough"
 
 
 # pure-python property round-trip (no Spark): arbitrary payload bytes

@@ -86,8 +86,28 @@ def cmd_pipeline(args) -> None:
 
         docs_raw = docs.persist()
         report["docs_in_raw"] = docs_raw.count()
-        hist = _load_corpus(spark, args.seen_history, "parquet")
-        kept = corpus_stats.bloom_seen_filter(docs_raw, hist)
+        hist = _load_corpus(spark, args.seen_history, "parquet").persist()
+        # size the bloom to the actual history: the fixed BLOOM_M default
+        # mass-drops genuinely-new docs once history exceeds ~25k keys
+        n_hist = hist.count()
+        m = corpus_stats.bloom_size_for(n_hist)
+        report["seen_history_keys"] = n_hist
+        report["bloom_bits"] = m
+        # key on URL when both sides carry one: the natural history
+        # artifact is a previous run's OUTPUT corpus, whose text has
+        # been rewritten by the pipeline (boilerplate stripped, PII
+        # masked) and so never matches raw recrawl text — the url is
+        # the stable recrawl identity; raw-text keying remains the
+        # fallback for url-less corpora
+        key = (
+            F.col("url")
+            if "url" in hist.columns and "url" in docs_raw.columns
+            else F.col("text")
+        )
+        kept = corpus_stats.bloom_seen_filter(
+            docs_raw, hist, key_expr=key, m=m
+        )
+        hist.unpersist()
         docs = docs_raw.join(
             kept.where(F.col("is_kept")).select("doc_id"), "doc_id"
         )
@@ -347,9 +367,11 @@ def main(argv=None) -> None:
                     help="train BPE on the final corpus and report its "
                     "subword token budget")
     pl.add_argument("--seen-history", default=None,
-                    help="parquet corpus of previously-ingested docs; "
-                    "new docs whose text was seen are bloom-filtered "
-                    "out before stage 1")
+                    help="parquet corpus of previously-ingested docs "
+                    "(e.g. a previous run's out/corpus); docs already "
+                    "seen are bloom-filtered out before stage 1 — keyed "
+                    "by url when both corpora carry one, else raw text; "
+                    "the filter is auto-sized to the history count")
     pl.set_defaults(fn=cmd_pipeline)
 
     e = sub.add_parser("export")

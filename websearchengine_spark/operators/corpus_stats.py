@@ -391,6 +391,7 @@ def bigram_lm_scores(
     map-side.  Rounding: avg_logprob at 6 dp, ppl at 4 dp — the sum of
     ~1e2 logs carries ~1e-12 float-order noise, far below both grids.
     """
+    self_scoring = train_docs is None
     if train_docs is None:
         train_docs = docs
     grams_t = train_docs.select(F.explode(ngrams_col(2)).alias("bg"))
@@ -420,26 +421,30 @@ def bigram_lm_scores(
     # two-level fallback: (1) seen bigram -> its smoothed logp; (2) unseen
     # bigram, seen context -> ln(alpha/(C(u)+alpha*V)) via a second left
     # join on the context token (null middle arm falls through coalesce);
-    # (3) unseen context -> uniform ln(1/V).  Self-scoring never leaves
-    # level 1, so the gated path is unchanged.
-    per = (
-        grams.join(probs, "bg", "left")
-        .join(
+    # (3) unseen context -> uniform ln(1/V).  Self-scoring can never
+    # leave level 1 (every scored bigram is in the model), so the extra
+    # context join — a second shuffle of the largest intermediate — is
+    # built only for the held-out variant.
+    scored = grams.join(probs, "bg", "left")
+    if self_scoring:
+        fallback = [-F.log(F.col("v"))]  # unreachable, keeps types fixed
+    else:
+        scored = scored.join(
             ctx.withColumnRenamed("u", "_ctx_u"),
             F.split(F.col("bg"), " ")[0] == F.col("_ctx_u"),
             "left",
         )
-        .crossJoin(F.broadcast(voc))
+        fallback = [
+            F.log(
+                F.lit(alpha) / (F.col("c_u") + F.lit(alpha) * F.col("v"))
+            ),
+            -F.log(F.col("v")),
+        ]
+    per = (
+        scored.crossJoin(F.broadcast(voc))
         .select(
             "doc_id",
-            F.coalesce(
-                F.col("logp"),
-                F.log(
-                    F.lit(alpha)
-                    / (F.col("c_u") + F.lit(alpha) * F.col("v"))
-                ),
-                -F.log(F.col("v")),
-            ).alias("logp"),
+            F.coalesce(F.col("logp"), *fallback).alias("logp"),
         )
         .groupBy("doc_id")
         .agg(
@@ -559,8 +564,11 @@ def domain_cap(
     from websearchengine_spark.functions.urlnorm import host_of
 
     spark = pages.sparkSession
+    # NULL hosts (null/unparseable url) coalesce to one '' group: the
+    # count equi-join below would silently drop NULL keys, breaking the
+    # every-page contract
     base = pages.select("doc_id", url_col).withColumn(
-        "host", host_of(url_col)
+        "host", F.coalesce(host_of(url_col), F.lit(""))
     )
     counts = base.groupBy("host").agg(
         F.count(F.lit(1)).cast("long").alias("host_docs")
@@ -749,6 +757,18 @@ def hll_distinct(
 
 BLOOM_M = 1 << 18  # bits (power of two; 256 Kbit -> 4096 packed longs)
 BLOOM_K = 5        # hash functions
+
+
+def bloom_size_for(n_keys: int, bits_per_key: int = 16) -> int:
+    """Power-of-two bit width sized to the history: at 16 bits/key and
+    k=5 the false-positive rate is ~0.1%, vs ~44% if 100k keys were
+    crammed into the fixed 256 Kbit default — callers that know their
+    history count (cli --seen-history does a count anyway) should size
+    the filter instead of trusting BLOOM_M."""
+    m = BLOOM_M
+    while m < n_keys * bits_per_key:
+        m <<= 1
+    return m
 
 
 def _bloom_positions(key_col: F.Column, m: int, k: int) -> F.Column:

