@@ -87,6 +87,45 @@ def test_spearman_perfect_and_inverse(spark):
     assert mining.spearman(m, "x", "z").head().rho == pytest.approx(-1.0)
 
 
+def test_global_ranks_heavy_ties_match_window(spark):
+    """The distributed rank decomposition (value buckets + heavy-tie
+    id-bucket splitting) must reproduce row_number over
+    (value desc, doc_id asc) exactly, including when most rows tie on one
+    value and thresholds force every branch (heavy set, id buckets,
+    tiny n_parts) to engage."""
+    import random
+
+    from pyspark.sql import Window
+
+    from websearchengine_spark.operators import mining
+
+    rng = random.Random(11)
+    rows = [
+        (
+            i * 7 % 9973,
+            0.0 if rng.random() < 0.7 else round(rng.uniform(-3, 3), 2),
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, x double")
+    ib = sorted(
+        int(v)
+        for v in df.select(
+            F.percentile_approx("doc_id", [0.25, 0.5, 0.75]).alias("b")
+        ).head().b
+    )
+    got = mining._global_ranks(
+        df, "x", "r", ib, heavy_thresh=20, n_parts=4
+    )
+    want = df.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("x"), F.asc("doc_id")))
+        .alias("r0"),
+    )
+    assert got.join(want, "doc_id").filter("r <> r0").count() == 0
+
+
 def test_prf_and_bhattacharyya(spark):
     from websearchengine_spark.operators import mining
 

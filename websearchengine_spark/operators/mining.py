@@ -146,16 +146,162 @@ def numviews_from_log(view_log: DataFrame, docs: DataFrame) -> DataFrame:
     )
 
 
-def spearman(metrics: DataFrame, col_x: str, col_y: str) -> DataFrame:
+def _global_ranks(
+    metrics: DataFrame,
+    col: str,
+    out: str,
+    id_bounds: list[int],
+    heavy_thresh: int,
+    n_parts: int,
+) -> DataFrame:
+    """Exact dense rank 1..N of every row by (``col`` desc, doc_id asc)
+    WITHOUT a single-partition window: rank(d) decomposes into
+
+        (# rows with value strictly greater)            [cum_gt, per VALUE]
+      + (# rows tied on value with doc_id <= d's)       [within-tie id rank]
+
+    cum_gt runs over the DISTINCT-value frame, range-bucketed by literal
+    percentile boundaries (the sequence_pack pattern: boundaries are
+    collected once and embedded as literals so every job agrees), with a
+    driver-side exclusive prefix over the <= n_parts bucket totals — no
+    unbounded task ever sorts more than ~distinct/n_parts rows.  Tie
+    groups larger than ``heavy_thresh`` (e.g. num_views == 0 over most of
+    a crawl) are additionally split by the shared doc_id percentile
+    boundaries, with per-(value, id-bucket) offsets computed exactly from
+    bounded counts (<= |heavy| * n_parts rows collected).  Exactness never
+    depends on the boundaries — they only balance tasks; a heavy group
+    whose doc_ids all fall in one id-bucket (metric correlated with
+    doc_id) can still skew a task, but the result stays correct."""
+    spark = metrics.sparkSession
+    x = F.col(col)
+    dt = metrics.schema[col].dataType
+    m = metrics.select("doc_id", col)
+
+    vals = m.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+    heavy = [r[0] for r in vals.filter(F.col("cnt") > heavy_thresh).collect()]
+
+    qs = [i / n_parts for i in range(1, n_parts)]
+    vrow = vals.select(F.percentile_approx(col, qs).alias("b")).head()
+    vbounds = sorted({v for v in ((vrow.b if vrow else None) or [])})
+    if vbounds:
+        barr = F.array(*[F.lit(b).cast(dt) for b in vbounds])
+        vpid = F.aggregate(
+            barr,
+            F.lit(0),
+            lambda acc, b: acc + F.when(x < b, F.lit(1)).otherwise(F.lit(0)),
+        )
+    else:
+        vpid = F.lit(0)
+    valsp = vals.withColumn("vpid", vpid.cast("int"))
+
+    # exclusive prefix of bucket totals in DESC value order (vpid 0 holds
+    # the LARGEST values, so desc order == ascending vpid)
+    tot = {
+        r.vpid: int(r.s)
+        for r in valsp.groupBy("vpid").agg(F.sum("cnt").alias("s")).collect()
+    }
+    voff, acc = {}, 0
+    for p in sorted(tot):
+        voff[p] = acc
+        acc += tot[p]
+    if voff:
+        voff_expr = F.element_at(
+            F.create_map(
+                *[F.lit(v) for kv in sorted(voff.items()) for v in kv]
+            ),
+            F.col("vpid"),
+        )
+    else:
+        voff_expr = F.lit(0)
+    wv = (
+        Window.partitionBy("vpid")
+        .orderBy(F.desc(col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_gt = valsp.select(
+        col,
+        (F.coalesce(F.sum("cnt").over(wv), F.lit(0)) + voff_expr).alias(
+            "n_gt"
+        ),
+    )
+
+    if heavy and id_bounds:
+        ibarr = F.array(*[F.lit(b).cast("long") for b in id_bounds])
+        idb_expr = F.when(
+            x.isin(heavy),
+            F.aggregate(
+                ibarr,
+                F.lit(0),
+                lambda acc, b: acc
+                + F.when(F.col("doc_id") > b, F.lit(1)).otherwise(F.lit(0)),
+            ),
+        ).otherwise(F.lit(0))
+    else:
+        idb_expr = F.lit(0)
+    mm = m.withColumn("idb", idb_expr.cast("int"))
+
+    if heavy:
+        gcnt = (
+            mm.filter(x.isin(heavy))
+            .groupBy(col, "idb")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        rows, by_val = [], {}
+        for r in gcnt:
+            by_val.setdefault(r[0], []).append((r.idb, int(r.n)))
+        for v, lst in by_val.items():
+            run = 0
+            for idb, n in sorted(lst):
+                rows.append((v, idb, run))
+                run += n
+        goff = spark.createDataFrame(
+            rows, schema=mm.select(col, "idb").schema.add("goff", "long")
+        )
+        mm = mm.join(F.broadcast(goff), [col, "idb"], "left")
+    else:
+        mm = mm.withColumn("goff", F.lit(None).cast("long"))
+
+    wid = Window.partitionBy(col, "idb").orderBy(F.asc("doc_id"))
+    return (
+        mm.withColumn("r_in", F.row_number().over(wid))
+        .join(cum_gt, col)
+        .select(
+            "doc_id",
+            (
+                F.col("n_gt") + F.coalesce(F.col("goff"), F.lit(0))
+                + F.col("r_in")
+            ).alias(out),
+        )
+    )
+
+
+def spearman(
+    metrics: DataFrame, col_x: str, col_y: str, n_parts: int | None = None
+) -> DataFrame:
     """G4 — textbook Spearman ρ between two per-doc metrics: rank desc with
     doc_id-asc tiebreak (the reference's comparator contract), then Pearson
-    corr of the ranks.  Returns a 1-row (rho) DataFrame."""
-    wx = Window.orderBy(F.desc(col_x), F.asc("doc_id"))
-    wy = Window.orderBy(F.desc(col_y), F.asc("doc_id"))
-    ranked = metrics.select(
-        F.row_number().over(wx).alias("rx"),
-        F.row_number().over(wy).alias("ry"),
-    )
+    corr of the ranks.  Returns a 1-row (rho) DataFrame.
+
+    Ranks are computed distributed (``_global_ranks``): per-column exact
+    ranks, never a single-partition global window, so the operator holds
+    at corpus scale; the rank join on doc_id and the value joins are
+    plain equi-joins (AQE skew-splittable)."""
+    spark = metrics.sparkSession
+    if n_parts is None:
+        n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    m = metrics.select("doc_id", col_x, col_y)
+    qs = [i / n_parts for i in range(1, n_parts)]
+    row = m.select(
+        F.percentile_approx("doc_id", qs).alias("ib"),
+        F.count(F.lit(1)).alias("n"),
+    ).head()
+    n_rows = int(row.n) if row else 0
+    id_bounds = sorted({int(v) for v in ((row.ib if row else None) or [])})
+    heavy_thresh = max(2 * n_rows // n_parts, 1024)
+    rx = _global_ranks(m, col_x, "rx", id_bounds, heavy_thresh, n_parts)
+    ry = _global_ranks(m, col_y, "ry", id_bounds, heavy_thresh, n_parts)
+    ranked = rx.join(ry, "doc_id")
     return ranked.agg(F.round(F.corr("rx", "ry"), 9).alias("rho"))
 
 
