@@ -74,6 +74,7 @@ HEADLINE = [
     "bpe_token_count",
     "dataset_split",
     "source_weighted_sample",
+    "spearman_rank",
 ]
 
 

@@ -169,6 +169,24 @@ def main() -> None:
             np.zeros(quality_model.CLF_DIM + 1),
         ).explain("formatted")
 
+        print("=" * 72)
+        print("12. Spearman distributed ranks (expect every Window to carry")
+        print("    a partitionBy — vpid for the value-prefix, (value, idb)")
+        print("    for the tie ranks; NO 'Window [...] ORDER BY' over an")
+        print("    empty partition spec anywhere in the plan)")
+        print("=" * 72)
+        from websearchengine_spark.operators import mining
+
+        mining.spearman(
+            docs_raw.select(
+                "doc_id",
+                FF.length("text").alias("m1"),
+                FF.col("n_chars").alias("m2"),
+            ),
+            "m1",
+            "m2",
+        ).explain("formatted")
+
     spark.stop()
 
 
