@@ -14,11 +14,15 @@ Methodology notes (also in BASELINE.md):
 - a warmup run of the same pipeline precedes the clock at each level so
   Python-worker spawn and JIT are excluded (a real cluster amortizes those
   over hours);
-- this host's 32 logical CPUs are SMT pairs and the machine is shared, so
-  a pure-CPU multiprocessing microbenchmark measures the HARDWARE ceiling
-  for each scale-up and trials are interleaved with best-per-level taken;
-  the primary N->4N pair is 2->8 cores (stays on physical cores), with
-  8->32 reported secondarily against its SMT-bound ceiling.
+- this host is a shared 32-core VM (lscpu reports 1 thread/core; the
+  delivered per-core throughput under full occupancy is what matters, not
+  the advertised topology), so a pure-CPU multiprocessing microbenchmark
+  measures the delivered HARDWARE ceiling for each scale-up and trials
+  are interleaved with best-per-level taken; the primary N->4N pair is
+  2->8 cores, with 8->32 reported secondarily — event-log task metrics
+  (BENCH_SCALING.json round5_idle_decomposition) show the 8->32 loss is
+  1.66-1.75x per-task slowdown under 32 concurrent memory-heavy tasks,
+  not scheduling (utilization 87-91% at both levels).
 
 Usage:
   python tools/bench_scaling.py                 # orchestrate all levels
