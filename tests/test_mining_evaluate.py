@@ -126,6 +126,47 @@ def test_global_ranks_heavy_ties_match_window(spark):
     assert got.join(want, "doc_id").filter("r <> r0").count() == 0
 
 
+def test_global_ranks_adversarial_shapes(spark):
+    """Degenerate frames that stress each branch of the decomposition:
+    all rows tied (one mega-group), all values distinct (no ties at all),
+    heavy group whose doc_ids cluster inside ONE id-bucket (boundaries
+    can't balance it — exactness must still hold), value equal to a
+    bucket boundary, and negative doubles."""
+    from pyspark.sql import Window
+
+    from websearchengine_spark.operators import mining
+
+    frames = {
+        "all_tied": [(i, 1.0) for i in range(60)],
+        "all_distinct": [(i, float(i % 7) * 10 + i) for i in range(60)],
+        "heavy_ids_clustered": (
+            # heavy value 0.0 lives entirely in doc_id range [0, 30)
+            [(i, 0.0) for i in range(30)]
+            + [(i + 1000, float(i + 1)) for i in range(30)]
+        ),
+        "negatives_and_bounds": [
+            (i, [-2.5, -1.0, 0.0, 1.0, 1.0, 2.5][i % 6]) for i in range(48)
+        ],
+    }
+    for name, rows in frames.items():
+        df = spark.createDataFrame(rows, "doc_id long, x double")
+        ib_row = df.select(
+            F.percentile_approx("doc_id", [1 / 3, 2 / 3]).alias("b")
+        ).head()
+        ib = sorted(int(v) for v in ib_row.b)
+        got = mining._global_ranks(
+            df, "x", "r", ib, heavy_thresh=8, n_parts=3
+        )
+        want = df.select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("x"), F.asc("doc_id")))
+            .alias("r0"),
+        )
+        bad = got.join(want, "doc_id").filter("r <> r0").count()
+        assert bad == 0, f"{name}: {bad} rank mismatches"
+
+
 def test_prf_and_bhattacharyya(spark):
     from websearchengine_spark.operators import mining
 
