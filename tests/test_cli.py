@@ -329,6 +329,35 @@ def test_pipeline_end_to_end(spark, corpus_dir, tmp_path, capsys):
     assert os.path.exists(os.path.join(out, "report.json"))
 
 
+def test_pipeline_urlless_corpus(spark, corpus_dir, tmp_path, capsys):
+    """A corpus parquet WITHOUT a url column (e.g. the bare documents
+    table shape) still runs: the CLI derives url = doc://<doc_id>, so
+    numbering and --seen-history keying stay deterministic.  A corpus
+    with neither url nor doc_id fails loudly."""
+    src = spark.read.parquet(corpus_dir).drop("url")
+    src = src.withColumn(
+        "doc_id", F.monotonically_increasing_id()
+    )
+    urlless = str(tmp_path / "urlless")
+    src.write.parquet(urlless)
+    out = str(tmp_path / "pipe_u")
+    cli.main([
+        "pipeline", "--corpus", urlless, "--out", out,
+        "--boilerplate-min-docs", "5", "--min-tokens", "3",
+        "--max-rep", "0.9", "--budget", "256",
+    ])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["docs_in"] > 0 and rep["after_quality"] > 0
+    df = spark.read.parquet(os.path.join(out, "corpus"))
+    assert df.where(~F.col("url").startswith("doc://")).count() == 0
+
+    bad = str(tmp_path / "bad")
+    spark.read.parquet(corpus_dir).drop("url").write.parquet(bad)
+    with pytest.raises(SystemExit):
+        cli.main(["pipeline", "--corpus", bad, "--out",
+                  str(tmp_path / "pipe_bad")])
+
+
 def test_pipeline_optional_stage_flags(spark, corpus_dir, tmp_path, capsys):
     """--gopher / --classifier-threshold / --bpe-report compose with the
     default stages; the report carries the budget and attrition stays

@@ -73,6 +73,19 @@ def cmd_pipeline(args) -> None:
     corpus = _load_corpus(spark, args.corpus, args.format)
     if args.lang and "lang" in corpus.columns:
         corpus = corpus.where(F.col("lang") == args.lang)
+    if "url" not in corpus.columns:
+        # url-less tables (e.g. a bare documents parquet): derive a stable
+        # identity from doc_id so doc numbering and --seen-history url
+        # keying stay deterministic across reruns; fail loudly when
+        # neither column exists
+        if "doc_id" not in corpus.columns:
+            raise SystemExit(
+                "pipeline: corpus needs a url or doc_id column"
+            )
+        corpus = corpus.withColumn(
+            "url",
+            F.concat(F.lit("doc://"), F.col("doc_id").cast("string")),
+        )
     docs = indexer.assign_doc_ids(corpus.select("url", "text"))
     report: dict = {}
     docs_raw = None
