@@ -52,6 +52,22 @@ def _load_corpus(spark, corpus_path: str, fmt: str):
     return spark.read.parquet(corpus_path)
 
 
+def _ensure_url(corpus):
+    """url-less tables (e.g. a bare documents parquet): derive a stable
+    identity from doc_id so doc numbering, WARC target URIs, and
+    --seen-history url keying stay deterministic across reruns; fail
+    loudly when neither column exists."""
+    from pyspark.sql import functions as F
+
+    if "url" in corpus.columns:
+        return corpus
+    if "doc_id" not in corpus.columns:
+        raise SystemExit("corpus needs a url or doc_id column")
+    return corpus.withColumn(
+        "url", F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
+    )
+
+
 def cmd_pipeline(args) -> None:
     """End-to-end training-data pipeline over a raw corpus: extract ->
     boilerplate line removal -> PII redaction -> exact dedup -> near-dup
@@ -73,19 +89,7 @@ def cmd_pipeline(args) -> None:
     corpus = _load_corpus(spark, args.corpus, args.format)
     if args.lang and "lang" in corpus.columns:
         corpus = corpus.where(F.col("lang") == args.lang)
-    if "url" not in corpus.columns:
-        # url-less tables (e.g. a bare documents parquet): derive a stable
-        # identity from doc_id so doc numbering and --seen-history url
-        # keying stay deterministic across reruns; fail loudly when
-        # neither column exists
-        if "doc_id" not in corpus.columns:
-            raise SystemExit(
-                "pipeline: corpus needs a url or doc_id column"
-            )
-        corpus = corpus.withColumn(
-            "url",
-            F.concat(F.lit("doc://"), F.col("doc_id").cast("string")),
-        )
+    corpus = _ensure_url(corpus)
     docs = indexer.assign_doc_ids(corpus.select("url", "text"))
     report: dict = {}
     docs_raw = None
@@ -166,6 +170,7 @@ def cmd_export(args) -> None:
     corpus = _load_corpus(spark, args.corpus, "parquet")
     if args.lang and "lang" in corpus.columns:
         corpus = corpus.where(F.col("lang") == args.lang)
+    corpus = _ensure_url(corpus)
     ids = indexer.assign_doc_ids(corpus.select("url", "text"))
     manifest = warc_src.write_warc(
         ids,
@@ -193,6 +198,7 @@ def cmd_build(args) -> None:
     corpus = _load_corpus(spark, args.corpus, getattr(args, "format", "parquet"))
     if "lang" in corpus.columns:
         corpus = corpus.where(F.col("lang") == "en")
+    corpus = _ensure_url(corpus)
     n_total = corpus.count()
     ids = indexer.assign_doc_ids(corpus.select("url", "text"))
     # avgdl for block-max weights, estimated from a deterministic url-hash
