@@ -177,11 +177,22 @@ def _global_ranks(
     dt = metrics.schema[col].dataType
     m = metrics.select("doc_id", col)
 
-    vals = m.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
-    heavy = [r[0] for r in vals.filter(F.col("cnt") > heavy_thresh).collect()]
-
+    # the distinct-value frame feeds THREE consumers (boundary/heavy agg,
+    # bucket totals, and the final cum_gt window); persist it across the
+    # two bounded driver collects so the groupBy shuffle runs once, and
+    # release it before returning — the final plan recomputes it once at
+    # execution instead of holding cache behind the caller's back
+    vals = m.groupBy(col).agg(F.count(F.lit(1)).alias("cnt")).persist()
     qs = [i / n_parts for i in range(1, n_parts)]
-    vrow = vals.select(F.percentile_approx(col, qs).alias("b")).head()
+    vrow = vals.agg(
+        F.percentile_approx(col, qs).alias("b"),
+        # collect_list drops the nulls of non-heavy values; bounded at
+        # n_rows / heavy_thresh entries by construction
+        F.collect_list(
+            F.when(F.col("cnt") > heavy_thresh, x)
+        ).alias("heavy"),
+    ).head()
+    heavy = list(vrow.heavy or []) if vrow else []
     vbounds = sorted({v for v in ((vrow.b if vrow else None) or [])})
     if vbounds:
         barr = F.array(*[F.lit(b).cast(dt) for b in vbounds])
@@ -200,6 +211,7 @@ def _global_ranks(
         r.vpid: int(r.s)
         for r in valsp.groupBy("vpid").agg(F.sum("cnt").alias("s")).collect()
     }
+    vals.unpersist()
     voff, acc = {}, 0
     for p in sorted(tot):
         voff[p] = acc
