@@ -13,7 +13,10 @@
   LogMinerNumviews.java:57-107);
 - G4 Spearman rank correlation (correct formula; the reference's buggy
   denominator is noted at Spearman.java:34-135 — we implement textbook
-  Spearman as the SURVEY G4 contract);
+  Spearman as the SURVEY G4 contract).  Ranks are computed DISTRIBUTED
+  (``_global_ranks``: strictly-greater-count over the distinct-value
+  frame + within-tie doc_id rank, literal-boundary bucketing) — never a
+  single-partition global window;
 - G5 pseudo-relevance feedback query representation
   (QueryRepresentation.java:50-119);
 - G6 Bhattacharyya coefficient between two query representations
