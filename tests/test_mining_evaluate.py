@@ -167,6 +167,49 @@ def test_global_ranks_adversarial_shapes(spark):
         assert bad == 0, f"{name}: {bad} rank mismatches"
 
 
+def test_global_ranks_nulls_rank_last(spark):
+    """Null metric values must rank after every non-null row ordered by
+    doc_id — the replaced global window's DESC NULLS LAST — and spearman
+    over a frame with nulls must equal the window formula, not silently
+    drop the null rows."""
+    from pyspark.sql import Window
+
+    from websearchengine_spark.operators import mining
+
+    rows = [
+        (i, None if i % 3 == 0 else float(i % 5), float(i % 7))
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, x double, y double")
+    ib_row = df.select(
+        F.percentile_approx("doc_id", [0.25, 0.5, 0.75]).alias("b")
+    ).head()
+    ib = sorted(int(v) for v in ib_row.b)
+    got = mining._global_ranks(df, "x", "r", ib, heavy_thresh=10, n_parts=3)
+    want = df.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("x"), F.asc("doc_id")))
+        .alias("r0"),
+    )
+    joined = got.join(want, "doc_id")
+    assert joined.count() == 90
+    assert joined.filter("r <> r0").count() == 0
+
+    wx = Window.orderBy(F.desc("x"), F.asc("doc_id"))
+    wy = Window.orderBy(F.desc("y"), F.asc("doc_id"))
+    old = (
+        df.select(
+            F.row_number().over(wx).alias("rx"),
+            F.row_number().over(wy).alias("ry"),
+        )
+        .agg(F.round(F.corr("rx", "ry"), 9).alias("rho"))
+        .head()
+        .rho
+    )
+    assert mining.spearman(df, "x", "y").head().rho == old
+
+
 def test_prf_and_bhattacharyya(spark):
     from websearchengine_spark.operators import mining
 

@@ -177,7 +177,7 @@ def main() -> None:
         print("=" * 72)
         from websearchengine_spark.operators import mining
 
-        mining.spearman(
+        mining._spearman_plan(
             docs_raw.select(
                 "doc_id",
                 FF.length("text").alias("m1"),
@@ -185,6 +185,7 @@ def main() -> None:
             ),
             "m1",
             "m2",
+            n_parts=8,
         ).explain("formatted")
 
     spark.stop()

@@ -171,28 +171,38 @@ def _global_ranks(
     groups larger than ``heavy_thresh`` (e.g. num_views == 0 over most of
     a crawl) are additionally split by the shared doc_id percentile
     boundaries, with per-(value, id-bucket) offsets computed exactly from
-    bounded counts (<= |heavy| * n_parts rows collected).  Exactness never
+    bounded counts (<= |heavy| * n_parts rows collected).  Null metric
+    values rank LAST ordered by doc_id (the global window's
+    DESC NULLS LAST), via the same id-bucket machinery.  Exactness never
     depends on the boundaries — they only balance tasks; a heavy group
     whose doc_ids all fall in one id-bucket (metric correlated with
-    doc_id) can still skew a task, but the result stays correct."""
+    doc_id) can still skew a task, but the result stays correct.
+
+    ``indexer.assign_doc_ids`` solves the no-tie special case of this
+    problem with repartitionByRange; it is deliberately NOT reused here:
+    RangePartitioner re-samples with an RDD-id-dependent seed per
+    execution (the sequence_pack hazard), and a composite (value desc,
+    doc_id asc) sort key cannot be expressed as literal boundaries that
+    both the offsets pass and the rank pass are guaranteed to share."""
     spark = metrics.sparkSession
     x = F.col(col)
     dt = metrics.schema[col].dataType
     m = metrics.select("doc_id", col)
+    mn = m.where(x.isNotNull())
 
     # the distinct-value frame feeds THREE consumers (boundary/heavy agg,
     # bucket totals, and the final cum_gt window); persist it across the
     # two bounded driver collects so the groupBy shuffle runs once, and
     # release it before returning — the final plan recomputes it once at
     # execution instead of holding cache behind the caller's back
-    vals = m.groupBy(col).agg(F.count(F.lit(1)).alias("cnt")).persist()
+    vals = mn.groupBy(col).agg(F.count(F.lit(1)).alias("__cnt")).persist()
     qs = [i / n_parts for i in range(1, n_parts)]
     vrow = vals.agg(
         F.percentile_approx(col, qs).alias("b"),
         # collect_list drops the nulls of non-heavy values; bounded at
         # n_rows / heavy_thresh entries by construction
         F.collect_list(
-            F.when(F.col("cnt") > heavy_thresh, x)
+            F.when(F.col("__cnt") > heavy_thresh, x)
         ).alias("heavy"),
     ).head()
     heavy = list(vrow.heavy or []) if vrow else []
@@ -206,106 +216,134 @@ def _global_ranks(
         )
     else:
         vpid = F.lit(0)
-    valsp = vals.withColumn("vpid", vpid.cast("int"))
+    valsp = vals.withColumn("__vpid", vpid.cast("int"))
 
     # exclusive prefix of bucket totals in DESC value order (vpid 0 holds
     # the LARGEST values, so desc order == ascending vpid)
     tot = {
-        r.vpid: int(r.s)
-        for r in valsp.groupBy("vpid").agg(F.sum("cnt").alias("s")).collect()
+        r["__vpid"]: int(r.s)
+        for r in valsp.groupBy("__vpid")
+        .agg(F.sum("__cnt").alias("s"))
+        .collect()
     }
     vals.unpersist()
     voff, acc = {}, 0
     for p in sorted(tot):
         voff[p] = acc
         acc += tot[p]
+    n_nonnull = acc
     if voff:
         voff_expr = F.element_at(
             F.create_map(
                 *[F.lit(v) for kv in sorted(voff.items()) for v in kv]
             ),
-            F.col("vpid"),
+            F.col("__vpid"),
         )
     else:
         voff_expr = F.lit(0)
     wv = (
-        Window.partitionBy("vpid")
+        Window.partitionBy("__vpid")
         .orderBy(F.desc(col))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum_gt = valsp.select(
         col,
-        (F.coalesce(F.sum("cnt").over(wv), F.lit(0)) + voff_expr).alias(
-            "n_gt"
+        (F.coalesce(F.sum("__cnt").over(wv), F.lit(0)) + voff_expr).alias(
+            "__n_gt"
         ),
     )
 
-    if heavy and id_bounds:
+    if id_bounds:
         ibarr = F.array(*[F.lit(b).cast("long") for b in id_bounds])
-        idb_expr = F.when(
-            x.isin(heavy),
-            F.aggregate(
-                ibarr,
-                F.lit(0),
-                lambda acc, b: acc
-                + F.when(F.col("doc_id") > b, F.lit(1)).otherwise(F.lit(0)),
-            ),
-        ).otherwise(F.lit(0))
+        id_bucket = F.aggregate(
+            ibarr,
+            F.lit(0),
+            lambda acc, b: acc
+            + F.when(F.col("doc_id") > b, F.lit(1)).otherwise(F.lit(0)),
+        )
     else:
-        idb_expr = F.lit(0)
-    mm = m.withColumn("idb", idb_expr.cast("int"))
+        id_bucket = F.lit(0)
+    idb_expr = (
+        F.when(x.isin(heavy), id_bucket).otherwise(F.lit(0))
+        if heavy
+        else F.lit(0)
+    )
+    mm = mn.withColumn("__idb", idb_expr.cast("int"))
 
     if heavy:
         gcnt = (
             mm.filter(x.isin(heavy))
-            .groupBy(col, "idb")
+            .groupBy(col, "__idb")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         )
         rows, by_val = [], {}
         for r in gcnt:
-            by_val.setdefault(r[0], []).append((r.idb, int(r.n)))
+            by_val.setdefault(r[0], []).append((r["__idb"], int(r.n)))
         for v, lst in by_val.items():
             run = 0
             for idb, n in sorted(lst):
                 rows.append((v, idb, run))
                 run += n
         goff = spark.createDataFrame(
-            rows, schema=mm.select(col, "idb").schema.add("goff", "long")
+            rows,
+            schema=mm.select(col, "__idb").schema.add("__goff", "long"),
         )
-        mm = mm.join(F.broadcast(goff), [col, "idb"], "left")
+        mm = mm.join(F.broadcast(goff), [col, "__idb"], "left")
     else:
-        mm = mm.withColumn("goff", F.lit(None).cast("long"))
+        mm = mm.withColumn("__goff", F.lit(None).cast("long"))
 
-    wid = Window.partitionBy(col, "idb").orderBy(F.asc("doc_id"))
-    return (
-        mm.withColumn("r_in", F.row_number().over(wid))
+    wid = Window.partitionBy(col, "__idb").orderBy(F.asc("doc_id"))
+    ranked = (
+        mm.withColumn("__r_in", F.row_number().over(wid))
         .join(cum_gt, col)
         .select(
             "doc_id",
             (
-                F.col("n_gt") + F.coalesce(F.col("goff"), F.lit(0))
-                + F.col("r_in")
-            ).alias(out),
+                F.col("__n_gt") + F.coalesce(F.col("__goff"), F.lit(0))
+                + F.col("__r_in")
+            ).cast("long").alias(out),
         )
     )
 
+    # null metric values: rank after every non-null row, ordered by
+    # doc_id, split over the shared id buckets exactly like a heavy tie
+    # group (one bounded <= n_parts+1-row collect for the offsets)
+    mz = m.where(x.isNull()).withColumn("__idb", id_bucket.cast("int"))
+    zcnt = sorted(
+        (int(r["__idb"]), int(r.n))
+        for r in mz.groupBy("__idb").agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    if zcnt:
+        zoff, run = {}, n_nonnull
+        for idb, n in zcnt:
+            zoff[idb] = run
+            run += n
+        zoff_expr = F.element_at(
+            F.create_map(
+                *[F.lit(v) for kv in sorted(zoff.items()) for v in kv]
+            ),
+            F.col("__idb"),
+        )
+        wz = Window.partitionBy("__idb").orderBy(F.asc("doc_id"))
+        ranked = ranked.unionByName(
+            mz.select(
+                "doc_id",
+                (F.row_number().over(wz) + zoff_expr)
+                .cast("long")
+                .alias(out),
+            )
+        )
+    return ranked
 
-def spearman(
-    metrics: DataFrame, col_x: str, col_y: str, n_parts: int | None = None
+
+def _spearman_plan(
+    m: DataFrame, col_x: str, col_y: str, n_parts: int
 ) -> DataFrame:
-    """G4 — textbook Spearman ρ between two per-doc metrics: rank desc with
-    doc_id-asc tiebreak (the reference's comparator contract), then Pearson
-    corr of the ranks.  Returns a 1-row (rho) DataFrame.
-
-    Ranks are computed distributed (``_global_ranks``): per-column exact
-    ranks, never a single-partition global window, so the operator holds
-    at corpus scale; the rank join on doc_id and the value joins are
-    plain equi-joins (AQE skew-splittable)."""
-    spark = metrics.sparkSession
-    if n_parts is None:
-        n_parts = max(spark.sparkContext.defaultParallelism, 8)
-    m = metrics.select("doc_id", col_x, col_y)
+    """Lazy rho plan over a (doc_id, col_x, col_y) frame — split out so
+    the plan-audit tool can ``explain`` the rank machinery (the public
+    ``spearman`` returns an eagerly-computed local relation)."""
     qs = [i / n_parts for i in range(1, n_parts)]
     row = m.select(
         F.percentile_approx("doc_id", qs).alias("ib"),
@@ -318,6 +356,37 @@ def spearman(
     ry = _global_ranks(m, col_y, "ry", id_bounds, heavy_thresh, n_parts)
     ranked = rx.join(ry, "doc_id")
     return ranked.agg(F.round(F.corr("rx", "ry"), 9).alias("rho"))
+
+
+def spearman(
+    metrics: DataFrame, col_x: str, col_y: str, n_parts: int | None = None
+) -> DataFrame:
+    """G4 — textbook Spearman ρ between two per-doc metrics: rank desc with
+    doc_id-asc tiebreak (the reference's comparator contract), then Pearson
+    corr of the ranks.  Returns a 1-row (rho) DataFrame.
+
+    Contract: ``doc_id`` must be UNIQUE (it is the tiebreak; duplicate
+    ids would make the ranking ill-defined).  Null metric values rank
+    last, ordered by doc_id — the global window's ``DESC NULLS LAST``.
+
+    Ranks are computed distributed (``_global_ranks``): per-column exact
+    ranks, never a single-partition global window, so the operator holds
+    at corpus scale; the rank join on doc_id and the value joins are
+    plain equi-joins (AQE skew-splittable).  The statistic is computed
+    EAGERLY under a scoped persist of the projected input — the metrics
+    plan (often a full tokenize+aggregate) is executed once instead of
+    once per boundary/offset job — and returned as a 1-row local
+    relation."""
+    spark = metrics.sparkSession
+    if n_parts is None:
+        n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    m = metrics.select("doc_id", col_x, col_y).persist()
+    try:
+        ranked = _spearman_plan(m, col_x, col_y, n_parts)
+        row = ranked.head()
+    finally:
+        m.unpersist()
+    return spark.createDataFrame([row] if row else [], ranked.schema)
 
 
 def prf_representation(
