@@ -85,6 +85,13 @@ def _weights_df(spark, w: np.ndarray, dim: int) -> DataFrame:
     return spark.createDataFrame(rows, "fid long, wt double")
 
 
+# widest weight vector worth inlining into the per-iteration plan as an
+# array literal; beyond it (the 2^18+ production dims) the plan-size and
+# codegen cost of the literal outweigh the saved exchanges and training
+# falls back to the broadcast-join loop
+CLF_INLINE_MAX_DIM = 4096
+
+
 def train_lr(
     feats: DataFrame,
     labels: DataFrame,
@@ -100,9 +107,23 @@ def train_lr(
     hyperparameters): gradient, velocity, and weights are all rounded to
     1e-9 every step, so two runs — and the sequential numpy twin
     (oracle/quality_lr.py:train_local) — produce bit-identical vectors.
-    Per iteration ONE Spark action: margins (broadcast weight join +
-    doc-keyed groupBy) feed the residual join and the fid-keyed gradient
-    groupBy, whose output is <= dim+1 rows (the only driver traffic)."""
+
+    Two physical strategies, one trajectory (the rounded gradient is the
+    ONLY thing an iteration feeds forward, so the plan shape is free):
+
+    - ``dim <= CLF_INLINE_MAX_DIM``: features are rolled up ONCE into a
+      per-doc sorted (fid, x) array joined with the label and persisted;
+      each iteration is then a single job — margin and residual computed
+      inline per doc with the weights as an array literal
+      (``F.aggregate``, pure codegen), explode, and one fid-keyed groupBy
+      whose partial aggregation caps the exchange at <= dim+1 rows per
+      partition.  No per-iteration broadcast, no doc-keyed shuffle.
+    - wider dims: the rolled-up array would carry a plan-sized weight
+      literal, so each iteration instead runs the broadcast weight join
+      + doc-keyed margin groupBy + residual join + fid-keyed gradient
+      groupBy over a persisted flat feature table — MLlib's distributed
+      LBFGS aggregation shape, still only <= dim+1 rows of driver
+      traffic per iteration."""
     spark = feats.sparkSession
     labels = labels.persist()
     n = float(labels.count())
@@ -111,14 +132,72 @@ def train_lr(
         # numpy twin short-circuits identically instead of dividing by 0)
         labels.unpersist()
         return np.zeros(dim + 1, dtype=np.float64)
-    # the training set may be a small labeled subset of the corpus
-    # (rule_labels' clear band) — restrict the feature table once, before
-    # the loop, so every iteration scans only labeled docs
+    w = np.zeros(dim + 1, dtype=np.float64)
+    v = np.zeros(dim + 1, dtype=np.float64)
+
+    if dim <= CLF_INLINE_MAX_DIM:
+        # per-doc rollup: sorted so the margin's fold order is
+        # deterministic (bias fid=-1 first, then fid asc; (doc, fid)
+        # pairs are unique).  The inner label join both restricts to the
+        # clear-band training set and attaches y.
+        train = (
+            feats.join(labels, "doc_id")
+            .groupBy("doc_id", "y")
+            .agg(
+                F.sort_array(F.collect_list(F.struct("fid", "x"))).alias(
+                    "fx"
+                )
+            )
+            .persist()
+        )
+        labels.unpersist()
+        try:
+            for _ in range(iters):
+                # index map into the literal: bias fid=-1 -> 1 (w[dim]),
+                # feature fid f -> f+2 (element_at is 1-based)
+                warr = F.array(
+                    F.lit(float(w[dim])),
+                    *[F.lit(float(w[f])) for f in range(dim)],
+                )
+                m = F.aggregate(
+                    F.col("fx"),
+                    F.lit(0.0),
+                    lambda acc, s: acc
+                    + s["x"]
+                    * F.element_at(warr, s["fid"].cast("int") + 2),
+                )
+                resid = (
+                    F.lit(1.0) / (F.lit(1.0) + F.exp(-m)) - F.col("y")
+                ).alias("r")
+                grad_rows = (
+                    train.select(resid, F.explode("fx").alias("s"))
+                    .groupBy(F.col("s.fid").alias("fid"))
+                    .agg(
+                        (F.sum(F.col("s.x") * F.col("r")) / F.lit(n)).alias(
+                            "g"
+                        )
+                    )
+                    .collect()
+                )
+                g = np.zeros(dim + 1, dtype=np.float64)
+                for row in grad_rows:
+                    g[dim if row["fid"] == BIAS_FID else row["fid"]] = row[
+                        "g"
+                    ]
+                g = np.round(g, CLF_ROUND)
+                v = np.round(beta * v + g, CLF_ROUND)
+                w = np.round(w - lr * v, CLF_ROUND)
+        finally:
+            train.unpersist()
+        return w
+
+    # production-width path — the training set may be a small labeled
+    # subset of the corpus (rule_labels' clear band): restrict the
+    # feature table once, before the loop, so every iteration scans only
+    # labeled docs
     feats = feats.join(
         labels.select("doc_id"), "doc_id", "left_semi"
     ).persist()
-    w = np.zeros(dim + 1, dtype=np.float64)
-    v = np.zeros(dim + 1, dtype=np.float64)
     try:
         for _ in range(iters):
             wdf = _weights_df(spark, w, dim)
