@@ -51,6 +51,18 @@ def test_train_is_deterministic_across_runs(docs, trained):
     assert np.array_equal(trained[1], w2)
 
 
+def test_train_join_path_matches_inline_path(docs, trained, monkeypatch):
+    """The two physical strategies (single-job inline iterations vs the
+    production-width broadcast-join loop) must walk one trajectory:
+    force the join path at the gate dim and require bit-identical
+    weights."""
+    monkeypatch.setattr(quality_model, "CLF_INLINE_MAX_DIM", 0)
+    w_join = quality_model.train_lr(
+        quality_model.hashed_features(docs), quality_model.rule_labels(docs)
+    )
+    assert np.array_equal(trained[1], w_join)
+
+
 def test_classifier_learns_the_label_rule(docs, trained):
     feats, w = trained
     scored = quality_model.score_lr(feats, w)
