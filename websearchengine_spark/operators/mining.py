@@ -156,6 +156,7 @@ def _global_ranks(
     id_bounds: list[int],
     heavy_thresh: int,
     n_parts: int,
+    n_total: int | None = None,
 ) -> DataFrame:
     """Exact dense rank 1..N of every row by (``col`` desc, doc_id asc)
     WITHOUT a single-partition window: rank(d) decomposes into
@@ -308,7 +309,13 @@ def _global_ranks(
 
     # null metric values: rank after every non-null row, ordered by
     # doc_id, split over the shared id buckets exactly like a heavy tie
-    # group (one bounded <= n_parts+1-row collect for the offsets)
+    # group (one bounded <= n_parts+1-row collect for the offsets).
+    # When the caller knows the frame's total row count (``n_total``)
+    # and it equals the non-null count, the whole stage — a full scan
+    # of the metrics frame — is skipped: the common all-non-null corpus
+    # pays nothing for null support.
+    if n_total is not None and n_total == n_nonnull:
+        return ranked
     mz = m.where(x.isNull()).withColumn("__idb", id_bucket.cast("int"))
     zcnt = sorted(
         (int(r["__idb"]), int(r.n))
@@ -352,8 +359,12 @@ def _spearman_plan(
     n_rows = int(row.n) if row else 0
     id_bounds = sorted({int(v) for v in ((row.ib if row else None) or [])})
     heavy_thresh = max(2 * n_rows // n_parts, 1024)
-    rx = _global_ranks(m, col_x, "rx", id_bounds, heavy_thresh, n_parts)
-    ry = _global_ranks(m, col_y, "ry", id_bounds, heavy_thresh, n_parts)
+    rx = _global_ranks(
+        m, col_x, "rx", id_bounds, heavy_thresh, n_parts, n_total=n_rows
+    )
+    ry = _global_ranks(
+        m, col_y, "ry", id_bounds, heavy_thresh, n_parts, n_total=n_rows
+    )
     ranked = rx.join(ry, "doc_id")
     return ranked.agg(F.round(F.corr("rx", "ry"), 9).alias("rho"))
 
